@@ -1,0 +1,222 @@
+"""RGB-D dataset loaders: TUM-RGBD, Synth/LED, Multiview (intrinsic3d).
+
+Port-of-semantics of cpp/include/img_loader/* — same directory layouts, depth
+unit scales (TUM: 1/5000, synth & multiview: 1/1000), intrinsics file format,
+and TUM pose-file parsing (ImageLoader.h:228-258).  Images are returned as
+numpy float32: color RGB in [0,1] (the reference keeps BGR and swaps at
+sample time, Auxilary.h:59 — we swap once at load), depth in meters.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from psgradientsdf_tpu.utils import se3 as se3_np  # noqa: F401  (jax quat used via numpy below)
+
+
+def _imread_depth(path: str, unit: float) -> Optional[np.ndarray]:
+    if cv2 is None:
+        raise RuntimeError("cv2 is required for image loading")
+    img = cv2.imread(path, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_ANYCOLOR)
+    if img is None:
+        return None
+    return img.astype(np.float32) * unit
+
+
+def _imread_color(path: str) -> Optional[np.ndarray]:
+    if cv2 is None:
+        raise RuntimeError("cv2 is required for image loading")
+    img = cv2.imread(path)
+    if img is None:
+        return None
+    if img.ndim == 2:
+        img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+    # BGR -> RGB once at load (vs. per-sample swap in Auxilary.h:59)
+    return img[..., ::-1].astype(np.float32) / 255.0
+
+
+def quat_xyzw_to_rot(q: np.ndarray) -> np.ndarray:
+    x, y, z, w = q
+    n = np.sqrt(x * x + y * y + z * z + w * w)
+    x, y, z, w = x / n, y / n, z / n, w / n
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ],
+        dtype=np.float32,
+    )
+
+
+class ImageLoader:
+    """Base loader (ImageLoader.h:22-265)."""
+
+    unit: float = 1.0
+
+    def __init__(self, path: str):
+        self.path = path
+        self.timestamp_rgb = ""
+        self.timestamp_depth = ""
+        self.K = np.eye(3, dtype=np.float32)
+
+    def load_intrinsics(self, filename: str = "intrinsics.txt") -> bool:
+        fp = os.path.join(self.path, filename)
+        if not os.path.isfile(fp):
+            return False
+        vals = []
+        with open(fp) as fh:
+            for line in fh:
+                vals.extend(float(v) for v in line.split())
+        if len(vals) < 9:
+            return False
+        self.K = np.array(vals[:9], dtype=np.float32).reshape(3, 3)
+        return True
+
+    def load_pose(self, filename: str) -> Optional[List[np.ndarray]]:
+        """TUM format: `timestamp tx ty tz qx qy qz qw` per line
+        (ImageLoader.h:228-258). Returns list of 4x4 camera-to-world poses."""
+        fp = os.path.join(self.path, filename)
+        if not os.path.isfile(fp):
+            return None
+        poses = []
+        with open(fp) as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) < 8 or parts[0].startswith("#"):
+                    continue
+                t = np.array([float(v) for v in parts[1:4]], dtype=np.float32)
+                q = np.array([float(v) for v in parts[4:8]], dtype=np.float32)
+                if float(np.sum(q * q)) < 0.99:
+                    print(f"pose {parts[0]} has invalid rotation")
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = quat_xyzw_to_rot(q)
+                T[:3, 3] = t
+                poses.append(T)
+        return poses if poses else None
+
+    def load_next(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        raise NotImplementedError
+
+    def reset(self) -> None:
+        raise NotImplementedError
+
+    def reset_counter(self) -> None:
+        self.reset()
+
+
+class TumrgbdLoader(ImageLoader):
+    """Streams rgb-depth pairs from associated.txt (TumrgbdLoader.h:83-119)."""
+
+    unit = 1.0 / 5000.0
+
+    def __init__(self, path: str):
+        super().__init__(path)
+        self._lines: List[str] = []
+        self._pos = 0
+        assoc = os.path.join(path, "associated.txt")
+        if os.path.isfile(assoc):
+            with open(assoc) as fh:
+                self._lines = [l for l in fh if l.strip() and not l.startswith("#")]
+
+    def load_next(self):
+        if self._pos >= len(self._lines):
+            return None
+        ts_rgb, rgb_file, ts_depth, depth_file = self._lines[self._pos].split()[:4]
+        self._pos += 1
+        self.timestamp_rgb = ts_rgb
+        self.timestamp_depth = ts_depth
+        depth = _imread_depth(os.path.join(self.path, depth_file), self.unit)
+        color = _imread_color(os.path.join(self.path, rgb_file))
+        if depth is None or color is None:
+            return None
+        return color, depth
+
+    def reset(self):
+        self._pos = 0
+
+
+class SynthLoader(ImageLoader):
+    """depth/NNN.png + rgb/NNN.png, 3-digit counter from 1 (SynthLoader.h:35-57)."""
+
+    unit = 1.0 / 1000.0
+
+    def __init__(self, path: str):
+        super().__init__(path)
+        self.counter = 1
+
+    def load_next(self):
+        stamp = f"{self.counter:03d}"
+        self.timestamp_rgb = self.timestamp_depth = stamp
+        depth = _imread_depth(os.path.join(self.path, "depth", stamp + ".png"), self.unit)
+        color = _imread_color(os.path.join(self.path, "rgb", stamp + ".png"))
+        if depth is None or color is None:
+            return None
+        self.counter += 1
+        return color, depth
+
+    def load_keyframe(self, frame: int):
+        """Load by index (SynthLoader.h:77-97; note it reads the *albedo*
+        directory in the reference — we read rgb, albedo via load_reflectance)."""
+        stamp = f"{frame + 1:03d}"
+        depth = _imread_depth(os.path.join(self.path, "depth", stamp + ".png"), self.unit)
+        color = _imread_color(os.path.join(self.path, "rgb", stamp + ".png"))
+        if depth is None or color is None:
+            return None
+        return color, depth
+
+    def load_reflectance(self):
+        """GT albedo + depth for evaluation (SynthLoader.h:59-75)."""
+        stamp = f"{self.counter:03d}"
+        albedo = _imread_color(os.path.join(self.path, "albedo", stamp + ".png"))
+        depth = _imread_depth(os.path.join(self.path, "depth", stamp + ".png"), self.unit)
+        if albedo is None or depth is None:
+            return None
+        self.counter += 1
+        return albedo, depth
+
+    def reset(self):
+        self.counter = 1
+
+
+class MultiviewLoader(ImageLoader):
+    """colorNNNNNN.png / depthNNNNNN.png, 6-digit counter from 1
+    (MultiviewLoader.h:35-58)."""
+
+    unit = 1.0 / 1000.0
+
+    def __init__(self, path: str):
+        super().__init__(path)
+        self.counter = 1
+
+    def load_next(self):
+        stamp = f"{self.counter:06d}"
+        self.timestamp_rgb = self.timestamp_depth = stamp
+        depth = _imread_depth(os.path.join(self.path, "depth" + stamp + ".png"), self.unit)
+        color = _imread_color(os.path.join(self.path, "color" + stamp + ".png"))
+        if depth is None or color is None:
+            return None
+        self.counter += 1
+        return color, depth
+
+    def reset(self):
+        self.counter = 1
+
+
+def make_loader(datatype: str, path: str) -> ImageLoader:
+    """Datatype -> loader dispatch (ConfigLoader.h:42-57)."""
+    if datatype == "tum":
+        return TumrgbdLoader(path)
+    if datatype in ("synth", "led"):
+        return SynthLoader(path)
+    if datatype in ("multiview", "intrinsic3d"):
+        return MultiviewLoader(path)
+    raise ValueError(f"dataset type {datatype!r} is not supported")

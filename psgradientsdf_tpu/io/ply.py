@@ -1,0 +1,75 @@
+"""ASCII PLY writers for meshes and oriented point clouds.
+
+Matches the reference's output formats:
+  * mesh PLY with uchar vertex colors + triangle faces
+    (cpp/third/mesh/MarchingCubes.cpp:659-697)
+  * point-cloud PLY with float normals + uchar colors
+    (cpp/include/sdf_tracker/VolumetricGradSdf.cpp:350-373)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def write_mesh_ply(
+    path: str,
+    vertices: np.ndarray,        # [V,3] float
+    faces: np.ndarray,           # [F,3] int
+    colors: np.ndarray = None,   # [V,3] float in [0,1] or uint8
+) -> bool:
+    vertices = np.asarray(vertices)
+    faces = np.asarray(faces)
+    has_color = colors is not None
+    if has_color:
+        colors = np.asarray(colors)
+        if colors.dtype != np.uint8:
+            colors = np.clip(colors * 255.0, 0, 255).astype(np.uint8)
+    try:
+        with open(path, "w") as fh:
+            fh.write("ply\nformat ascii 1.0\n")
+            fh.write(f"element vertex {len(vertices)}\n")
+            fh.write("property float x\nproperty float y\nproperty float z\n")
+            if has_color:
+                fh.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+            fh.write(f"element face {len(faces)}\n")
+            fh.write("property list uchar int vertex_indices\n")
+            fh.write("end_header\n")
+            for i, v in enumerate(vertices):
+                line = f"{v[0]:g} {v[1]:g} {v[2]:g}"
+                if has_color:
+                    c = colors[i]
+                    line += f" {int(c[0])} {int(c[1])} {int(c[2])}"
+                fh.write(line + "\n")
+            for f in faces:
+                fh.write(f"3 {int(f[0])} {int(f[1])} {int(f[2])}\n")
+        return True
+    except OSError:
+        return False
+
+
+def write_pointcloud_ply(
+    path: str,
+    points: np.ndarray,    # [N,3]
+    normals: np.ndarray,   # [N,3]
+    colors: np.ndarray,    # [N,3] float [0,1]
+) -> bool:
+    points = np.asarray(points)
+    normals = np.asarray(normals)
+    colors = np.clip(np.asarray(colors) * 255.0, 0, 255).astype(np.int32)
+    try:
+        with open(path, "w") as fh:
+            fh.write("ply\nformat ascii 1.0\n")
+            fh.write(f"element vertex {len(points)}\n")
+            fh.write("property float x\nproperty float y\nproperty float z\n")
+            fh.write("property float nx\nproperty float ny\nproperty float nz\n")
+            fh.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+            fh.write("end_header\n")
+            for p, n, c in zip(points, normals, colors):
+                fh.write(
+                    f"{p[0]:g} {p[1]:g} {p[2]:g} {n[0]:g} {n[1]:g} {n[2]:g} "
+                    f"{int(c[0])} {int(c[1])} {int(c[2])}\n"
+                )
+        return True
+    except OSError:
+        return False

@@ -1,0 +1,197 @@
+"""Refinement problem extraction: surface compaction + stencil structure.
+
+Replaces the reference's dynamic `surface_points_` index vector and its
+O(N) `std::find` neighbor lookups (cpp/include/ps_optimizer/Optimizer.cpp:
+462-474, PsOptimizerJa.cpp:523-541) with precomputed, statically-shaped
+index arrays:
+
+  * surface voxels are compacted to a padded capacity N (power-of-two
+    bucket) so every per-voxel loop is a dense masked kernel;
+  * the one-sided finite-difference direction per axis (forward iff the
+    +1 neighbor is inside the grid AND in the surface set — the
+    `ifValidDirection` rule, Optimizer.cpp:287-364) is fixed for the
+    whole refinement, since surface membership doesn't change between
+    upsamplings;
+  * each stencil neighbor is either another surface voxel (compact index
+    >= 0 — its distance/albedo is a *variable*) or a non-surface voxel
+    (compact index -1 — its values are frozen at extraction and stored
+    as constants, exactly like the reference which reads them from the
+    full grid but never assigns them Jacobian columns).
+
+Extraction runs on host (numpy) once per refinement / upsample.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from psgradientsdf_tpu.core.grid import GridGeometry
+from psgradientsdf_tpu.core.volume import GradSdfVolume
+
+
+class RefineProblem(NamedTuple):
+    # --- compacted surface voxels (length N, padded) ---
+    valid: jax.Array        # [N] bool padding mask
+    idx_xyz: jax.Array      # [N,3] int32 voxel coords (x,y,z)
+    dist: jax.Array         # [N] f32
+    albedo: jax.Array       # [N,3] f32
+    grad_stored: jax.Array  # [N,3] f32 — the volume's stored gradient (v.grad)
+    vis: jax.Array          # [N,F] bool — visibility re-indexed to keyframes
+    # --- one-sided FD stencil (dist & albedo share it) ---
+    nbr_dir: jax.Array      # [N,3] f32 in {+1,-1}
+    nbr_idx: jax.Array      # [N,3] int32 compact index of FD neighbor, -1 if frozen
+    nbr_dist_const: jax.Array    # [N,3] f32 frozen neighbor distances
+    nbr_albedo_const: jax.Array  # [N,3,3] f32 frozen neighbor albedo [axis, channel]
+    # --- Laplacian stencil (+1/-1 per axis) ---
+    lap_idx: jax.Array      # [N,6] int32 compact index (x+,x-,y+,y-,z+,z-), -1 if frozen
+    lap_dist_const: jax.Array    # [N,6] f32 frozen values
+    n_surface: jax.Array    # scalar int32 — true (unpadded) surface count
+
+
+def _pad_cap(n: int, minimum: int = 1024) -> int:
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def extract_problem(
+    vol: GradSdfVolume,
+    geom: GridGeometry,
+    keyframe_indices: Sequence[int],
+    capacity: int = None,
+) -> RefineProblem:
+    """select_vis + getSurfaceVoxel + stencil precomputation.
+
+    `keyframe_indices` are frame counters (bit positions in vol.vis),
+    mirroring Optimizer::select_vis (Optimizer.cpp:30-47).
+    """
+    dist = np.asarray(vol.dist)
+    grad = np.asarray(vol.grad)
+    color = np.asarray(vol.color)
+    vis_packed = np.asarray(vol.vis)
+    Z, Y, X = dist.shape
+    h = geom.voxel_size
+
+    F = len(keyframe_indices)
+    kvis = np.zeros((Z, Y, X, F), dtype=bool)
+    for f, frame in enumerate(keyframe_indices):
+        word, bit = frame // 32, frame % 32
+        kvis[..., f] = (vis_packed[word] & np.uint32(1 << bit)) != 0
+
+    band = np.abs(dist) <= np.sqrt(3.0) * h
+    seen = kvis.any(axis=-1)
+    surf = band & seen
+    zz, yy, xx = np.nonzero(surf)      # i-fastest order == reference iteration order
+    n = zz.size
+    if capacity is None:
+        capacity = _pad_cap(n)
+    if n > capacity:
+        raise ValueError(f"surface count {n} exceeds capacity {capacity}")
+
+    # compact map
+    cmap = np.full((Z, Y, X), -1, dtype=np.int32)
+    cmap[zz, yy, xx] = np.arange(n, dtype=np.int32)
+
+    def padded(a, shape_tail=(), dtype=np.float32, fill=0):
+        out = np.full((capacity,) + shape_tail, fill, dtype=dtype)
+        return out
+
+    idx_xyz = padded((3,), np.int32)
+    idx_xyz[:n] = np.stack([xx, yy, zz], axis=-1)
+    valid = np.zeros(capacity, dtype=bool)
+    valid[:n] = True
+
+    d_out = padded()
+    d_out[:n] = dist[zz, yy, xx]
+    alb = padded((3,))
+    alb[:n] = color[zz, yy, xx]
+    g_out = padded((3,))
+    g_out[:n] = grad[zz, yy, xx]
+    vis_out = np.zeros((capacity, F), dtype=bool)
+    vis_out[:n] = kvis[zz, yy, xx]
+
+    # --- FD stencil: forward iff +1 in bounds and in surface set ---
+    dims = np.array([X, Y, Z])
+    nbr_dir = np.ones((capacity, 3), dtype=np.float32)
+    nbr_idx = np.full((capacity, 3), -1, dtype=np.int32)
+    nbr_dc = padded((3,))
+    nbr_ac = padded((3, 3))
+    base = np.stack([xx, yy, zz], axis=-1)  # [n,3] (x,y,z)
+    for ax in range(3):
+        fwd = base.copy()
+        fwd[:, ax] += 1
+        in_b = fwd[:, ax] < dims[ax]
+        fwd_c = np.clip(fwd, 0, dims - 1)
+        fwd_compact = cmap[fwd_c[:, 2], fwd_c[:, 1], fwd_c[:, 0]]
+        use_fwd = in_b & (fwd_compact >= 0)
+        dirs = np.where(use_fwd, 1.0, -1.0).astype(np.float32)
+        nbr = base.copy()
+        nbr[:, ax] += dirs.astype(np.int32)
+        nbr = np.clip(nbr, 0, dims - 1)   # border guard (reference reads OOB, §2.3 bug 3)
+        ci = cmap[nbr[:, 2], nbr[:, 1], nbr[:, 0]]
+        nbr_dir[:n, ax] = dirs
+        nbr_idx[:n, ax] = ci
+        frozen = ci < 0
+        nbr_dc[:n, ax] = np.where(frozen, dist[nbr[:, 2], nbr[:, 1], nbr[:, 0]], 0.0)
+        nbr_ac[:n, ax] = np.where(
+            frozen[:, None], color[nbr[:, 2], nbr[:, 1], nbr[:, 0]], 0.0
+        )
+
+    # --- Laplacian stencil ---
+    lap_idx = np.full((capacity, 6), -1, dtype=np.int32)
+    lap_dc = padded((6,))
+    for ax in range(3):
+        for s, sign in enumerate((+1, -1)):
+            col = 2 * ax + s
+            nbr = base.copy()
+            nbr[:, ax] += sign
+            nbr = np.clip(nbr, 0, dims - 1)
+            ci = cmap[nbr[:, 2], nbr[:, 1], nbr[:, 0]]
+            lap_idx[:n, col] = ci
+            lap_dc[:n, col] = np.where(
+                ci < 0, dist[nbr[:, 2], nbr[:, 1], nbr[:, 0]], 0.0
+            )
+
+    j = jnp.asarray
+    return RefineProblem(
+        valid=j(valid),
+        idx_xyz=j(idx_xyz),
+        dist=j(d_out),
+        albedo=j(alb),
+        grad_stored=j(g_out),
+        vis=j(vis_out),
+        nbr_dir=j(nbr_dir),
+        nbr_idx=j(nbr_idx),
+        nbr_dist_const=j(nbr_dc),
+        nbr_albedo_const=j(nbr_ac),
+        lap_idx=j(lap_idx),
+        lap_dist_const=j(lap_dc),
+        n_surface=jnp.int32(n),
+    )
+
+
+def writeback(
+    vol: GradSdfVolume, prob: RefineProblem, dist: jax.Array, albedo: jax.Array,
+    grad_stored: jax.Array,
+) -> GradSdfVolume:
+    """Scatter refined per-surface-voxel values back into the dense volume."""
+    idx = prob.idx_xyz
+    zi, yi, xi = idx[:, 2], idx[:, 1], idx[:, 0]
+    m = prob.valid
+    # mask padded rows by scattering their own current values
+    cur_d = vol.dist[zi, yi, xi]
+    cur_a = vol.color[zi, yi, xi]
+    cur_g = vol.grad[zi, yi, xi]
+    new_d = jnp.where(m, dist, cur_d)
+    new_a = jnp.where(m[:, None], albedo, cur_a)
+    new_g = jnp.where(m[:, None], grad_stored, cur_g)
+    return vol._replace(
+        dist=vol.dist.at[zi, yi, xi].set(new_d),
+        color=vol.color.at[zi, yi, xi].set(new_a),
+        grad=vol.grad.at[zi, yi, xi].set(new_g),
+    )
