@@ -1,0 +1,501 @@
+"""Alternating photometric refinement: the host-side outer loop.
+
+TPU-native counterpart of PsOptimizer::alternatingOptimize
+(PsOptimizer.cpp:239-428) and LedOptimizer::alternatingOptimize
+(LedOptimizer.cpp:279-478).  The data-dependent control flow (convergence /
+divergence aborts, reg-weight auto-normalization, the iteration-5 upsample,
+periodic artifact dumps) stays in Python exactly as in the reference; each
+block solve (albedo / light / distance / pose) is a single jitted device
+computation over the compacted surface set.
+
+Reference behaviors carried over:
+  * SH light init: l = SH(R (0,0,-1)), l[0]=0.02 (PsOptimizer.cpp:25-42)
+  * LED light init: intensity-ratio matching (LedOptimizer.cpp:76-112)
+  * albedo init: mean observed intensity (Optimizer.cpp:50-81)
+  * reg-weight normalization by E/E_reg before the loop (PsOptimizer.cpp:274-288)
+  * convergence: rel dE < conv_threshold; divergence: dE > 0 -> abort with
+    artifact save (PsOptimizer.cpp:368-384)
+  * upsample at iter 5 with temporary Laplacian smoothing, disabled after
+    iter 15 (PsOptimizer.cpp:386-413)
+  * artifact dumps every 3 iterations (PsOptimizer.cpp:419-423)
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psgradientsdf_tpu.config import OptimizerConfig, LED
+from psgradientsdf_tpu.core.grid import GridGeometry
+from psgradientsdf_tpu.core.volume import GradSdfVolume
+from psgradientsdf_tpu.io import ply, sdf_io, trajectory
+from psgradientsdf_tpu.ops.marching_cubes import extract_mesh_from_volume
+from psgradientsdf_tpu.refine import geometry, jacobians, render, solvers
+from psgradientsdf_tpu.refine.problem import RefineProblem, extract_problem, writeback
+from psgradientsdf_tpu.refine.upsample import upsample_volume
+from psgradientsdf_tpu.utils import sh as sh_mod
+from psgradientsdf_tpu.utils.metrics import MetricsLogger
+from psgradientsdf_tpu.utils.timer import Timer
+
+
+# --------------------------------------------------------------- jitted blocks
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geom", "model", "order", "loss", "lam", "voxel_size"),
+)
+def _residuals(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+               *, model, order, loss, lam, voxel_size):
+    return render.compute_residuals(
+        prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+        model=model, order=order, loss=loss, lam=lam, voxel_size=voxel_size,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geom", "model", "order", "loss", "lam", "voxel_size"),
+)
+def _energies(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+              *, model, order, loss, lam, voxel_size):
+    rd = render.compute_residuals(
+        prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+        model=model, order=order, loss=loss, lam=lam, voxel_size=voxel_size,
+    )
+    return (
+        render.ps_energy(prob, rd, loss=loss, lam=lam),
+        render.normal_energy(prob, dist, voxel_size),
+        render.laplacian_energy(prob, dist, voxel_size),
+        render.albedo_reg_energy(prob, albedo, voxel_size),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "geom", "model", "order", "loss", "lam", "voxel_size",
+        "reg_weight_rho", "damping",
+    ),
+)
+def _albedo_block(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+                  *, model, order, loss, lam, voxel_size, reg_weight_rho, damping):
+    rd = _residuals.__wrapped__(
+        prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+        model=model, order=order, loss=loss, lam=lam, voxel_size=voxel_size,
+    )
+    if model == LED:
+        J = jacobians.albedo_jacobian_led(prob, geom, dist, grad_stored, poses, lights)
+    else:
+        J = jacobians.albedo_jacobian_sh(prob, grad_stored, lights, order)
+    delta = solvers.solve_albedo(
+        prob, rd, J, albedo, voxel_size,
+        reg_weight_rho=reg_weight_rho, damping=damping,
+    )
+    return solvers.update_albedo(prob, albedo, delta)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geom", "model", "order", "loss", "lam", "voxel_size", "damping"),
+)
+def _light_block(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+                 *, model, order, loss, lam, voxel_size, damping):
+    rd = _residuals.__wrapped__(
+        prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+        model=model, order=order, loss=loss, lam=lam, voxel_size=voxel_size,
+    )
+    if model == LED:
+        J = jacobians.light_jacobian_led(prob, geom, dist, grad_stored, albedo, poses)
+        delta = solvers.solve_light_led(rd, J, damping)
+    else:
+        J = jacobians.light_jacobian_sh(prob, albedo, grad_stored, order)
+        delta = solvers.solve_light_sh(rd, J)
+    return lights - delta
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "geom", "model", "order", "loss", "lam", "voxel_size",
+        "reg_weight_n", "reg_weight_l", "damping", "laplacian_diag_only",
+    ),
+)
+def _dist_block(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+                *, model, order, loss, lam, voxel_size, reg_weight_n,
+                reg_weight_l, damping, laplacian_diag_only):
+    rd = _residuals.__wrapped__(
+        prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+        model=model, order=order, loss=loss, lam=lam, voxel_size=voxel_size,
+    )
+    G = jacobians.image_pi_grad(images, rd, K)
+    if model == LED:
+        DJ = jacobians.dist_jacobian_led(
+            prob, geom, dist, albedo, grad_stored, lights, G, poses, voxel_size
+        )
+    else:
+        DJ = jacobians.dist_jacobian_sh(
+            prob, geom, dist, albedo, grad_stored, lights, G, poses, voxel_size, order
+        )
+    delta = solvers.solve_distance(
+        prob, rd, DJ, dist, voxel_size,
+        reg_weight_n=reg_weight_n, reg_weight_l=reg_weight_l, damping=damping,
+        laplacian_diag_only=laplacian_diag_only,
+    )
+    return solvers.update_distance(prob, dist, delta, voxel_size)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geom", "model", "order", "loss", "lam", "voxel_size", "damping"),
+)
+def _pose_block(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+                *, model, order, loss, lam, voxel_size, damping):
+    rd = _residuals.__wrapped__(
+        prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+        model=model, order=order, loss=loss, lam=lam, voxel_size=voxel_size,
+    )
+    G = jacobians.image_pi_grad(images, rd, K)
+    if model == LED:
+        J_c = jacobians.pose_jacobian_led(G, rd, poses, albedo, grad_stored, lights)
+    else:
+        J_c = jacobians.pose_jacobian_sh(G, rd, poses)
+    delta = solvers.solve_pose(rd, J_c, damping)
+    return solvers.update_poses(poses, delta)
+
+
+@functools.partial(jax.jit, static_argnames=("geom", "voxel_size"))
+def _init_albedo(prob, geom, dist, grad_stored, poses, images, K, voxel_size):
+    """Mean observed intensity over visible keyframes (Optimizer.cpp:50-81)."""
+    F, H, W = images.shape[0], images.shape[1], images.shape[2]
+    pts_w = render.surface_points_world(prob, geom, dist, grad_stored)
+    _, uv, in_img = render.project_to_frames(pts_w, poses, K, (H, W))
+    I = render.sample_intensity(images, uv)
+    m = (prob.vis & in_img & prob.valid[:, None]).astype(I.dtype)
+    s = jnp.einsum("nfc,nf->nc", I, m)
+    cnt = jnp.sum(m, axis=1)
+    mean = s / jnp.maximum(cnt[:, None], 1.0)
+    return jnp.where((cnt > 0)[:, None], mean, 0.0)
+
+
+# ------------------------------------------------------------------ refiner
+
+class PhotometricRefiner:
+    """Joint light/albedo/distance/pose refinement over keyframes.
+
+    Owns the dense volume + the compacted problem; writeback() syncs the
+    refined values into the volume for export.
+    """
+
+    def __init__(
+        self,
+        vol: GradSdfVolume,
+        geom: GridGeometry,
+        cfg: OptimizerConfig,
+        K: np.ndarray,
+        save_path: str = "",
+        truncation: float = None,
+        metrics: Optional[MetricsLogger] = None,
+        laplacian_diag_only: bool = False,
+    ):
+        self.vol = vol
+        self.geom = geom
+        self.cfg = cfg
+        self.K = jnp.asarray(K, dtype=jnp.float32)
+        self.save_path = save_path
+        self.truncation = truncation
+        self.metrics = metrics or MetricsLogger(None, echo=True)
+        self.laplacian_diag_only = laplacian_diag_only
+        self.images = None
+        self.poses = None
+        self.keyframe_indices: List[int] = []
+        self.timestamps: List[str] = []
+        self.prob: Optional[RefineProblem] = None
+        self.lights = None
+        self.dist = None
+        self.albedo = None
+        self.grad_stored = None
+
+    # ------------------------------------------------------------ setup
+
+    def set_keyframes(
+        self,
+        images: np.ndarray,          # [F,H,W,3] RGB float
+        poses: np.ndarray,           # [F,4,4]
+        keyframe_indices: Sequence[int],
+        timestamps: Sequence[str] = (),
+    ) -> None:
+        self.images = jnp.asarray(images, dtype=jnp.float32)
+        self.poses = jnp.asarray(poses, dtype=jnp.float32)
+        self.keyframe_indices = list(keyframe_indices)
+        self.timestamps = list(timestamps) or [str(i) for i in keyframe_indices]
+
+    def init(self) -> None:
+        """select_vis + surface extraction + light init
+        (PsOptimizer.cpp:25-42 / LedOptimizer.cpp:25-36)."""
+        self.prob = extract_problem(self.vol, self.geom, self.keyframe_indices)
+        self.dist = self.prob.dist
+        self.albedo = self.prob.albedo
+        self.grad_stored = self.prob.grad_stored
+        n = int(self.prob.n_surface)
+        self.metrics.log("refine_init", surface_voxels=n, keyframes=len(self.keyframe_indices))
+
+        if self.cfg.model == LED:
+            self.lights = jnp.ones(3, dtype=jnp.float32)
+            self._init_led_light()
+        else:
+            s = jnp.array([0.0, 0.0, -1.0], dtype=jnp.float32)
+            R = self.poses[:, :3, :3]
+            dirs = jnp.einsum("fij,j->fi", R, s)
+            basis = sh_mod.sh_basis(dirs, self.cfg.order)     # [F,B]
+            self.lights = basis.at[:, 0].set(0.02)
+
+    def _init_led_light(self) -> None:
+        """Intensity-ratio light init (LedOptimizer.cpp:76-112)."""
+        rd = self._rd()
+        rendered = render.rendered_intensity_led(
+            self.prob, self.geom, self.dist, self.albedo, self.grad_stored,
+            self.lights, self.poses, self.geom.voxel_size,
+        )
+        m = rd.mask[..., None]
+        # rd.r = I - rendered(light=1)  =>  I = r + rendered
+        obs = jnp.sum(jnp.where(m, rd.r + rendered, 0.0), axis=(0, 1))
+        ren = jnp.sum(jnp.where(m, rendered, 0.0), axis=(0, 1))
+        self.lights = obs / jnp.where(jnp.abs(ren) > 1e-12, ren, 1e-12)
+
+    def init_albedo(self) -> None:
+        self.albedo = _init_albedo(
+            self.prob, self.geom, self.dist, self.grad_stored, self.poses,
+            self.images, self.K, self.geom.voxel_size,
+        )
+
+    # ------------------------------------------------------------ internals
+
+    def _static_kwargs(self):
+        return dict(
+            model=self.cfg.model,
+            order=self.cfg.order,
+            loss=self.cfg.loss,
+            lam=float(self.cfg.lam),
+            voxel_size=self.geom.voxel_size,
+        )
+
+    def _args(self):
+        return (
+            self.prob, self.geom, self.dist, self.albedo, self.grad_stored,
+            self.poses, self.images, self.K, self.lights,
+        )
+
+    def _rd(self):
+        return _residuals(*self._args(), **self._static_kwargs())
+
+    def energies(self):
+        e = _energies(*self._args(), **self._static_kwargs())
+        return tuple(float(v) for v in e)
+
+    def _total_energy(self, E, E_n, E_l, E_r, w_n, w_l, w_rho) -> float:
+        total = E + w_n * E_n + w_l * E_l + w_rho * E_r
+        self.metrics.log(
+            "energy", ps=E, normal_reg=w_n * E_n, laplacian_reg=w_l * E_l,
+            rho_reg=w_rho * E_r, total=total,
+        )
+        return total
+
+    # ------------------------------------------------------------ main loop
+
+    def alternating_optimize(
+        self, light: bool, albedo: bool, distance: bool, pose: bool
+    ) -> bool:
+        cfg = self.cfg
+        T = Timer(verbose=False)
+        w_n, w_l, w_rho = cfg.reg_weight_n, cfg.reg_weight_l, cfg.reg_weight_rho
+        normal_reg = w_n != 0.0
+        albedo_reg = w_rho != 0.0
+        laplacian_reg = w_l != 0.0
+        damping = cfg.damping
+
+        self.init_albedo()
+
+        E, E_n, E_l, E_r = self.energies()
+        if normal_reg and E_n > 0:
+            w_n *= E / E_n                     # weight normalization
+        if laplacian_reg:
+            if E_l > 0:
+                w_l *= E / E_l
+            if cfg.upsample:
+                laplacian_reg = False
+        E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
+        E_vec = [E_total]
+
+        it = 0
+        while it < cfg.max_it:
+            if albedo:
+                T.tic()
+                self.albedo = _albedo_block(
+                    *self._args(), **self._static_kwargs(),
+                    reg_weight_rho=w_rho, damping=damping,
+                )
+                dt = T.toc("albedo", self.albedo)
+                E, _, _, E_r = self.energies()
+                E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
+                self.metrics.log("block", iter=it, block="albedo", seconds=dt)
+
+            if light:
+                T.tic()
+                self.lights = _light_block(
+                    *self._args(), **self._static_kwargs(), damping=damping,
+                )
+                dt = T.toc("light", self.lights)
+                E, _, _, _ = self.energies()
+                E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
+                self.metrics.log("block", iter=it, block="light", seconds=dt)
+
+            if distance:
+                T.tic()
+                self.dist, self.grad_stored = _dist_block(
+                    *self._args(), **self._static_kwargs(),
+                    reg_weight_n=w_n if normal_reg else 0.0,
+                    reg_weight_l=w_l if laplacian_reg else 0.0,
+                    damping=damping,
+                    laplacian_diag_only=self.laplacian_diag_only,
+                )
+                dt = T.toc("distance", self.dist)
+                E, E_n, E_l, _ = self.energies()
+                E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
+                self.metrics.log("block", iter=it, block="distance", seconds=dt)
+
+            if pose:
+                T.tic()
+                self.poses = _pose_block(
+                    *self._args(), **self._static_kwargs(), damping=damping,
+                )
+                dt = T.toc("pose", self.poses)
+                E, _, _, _ = self.energies()
+                E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
+                self.metrics.log("block", iter=it, block="pose", seconds=dt)
+
+            E_vec.append(E_total)
+            rel_diff = abs(E_vec[-2] - E_total) / max(abs(E_vec[-2]), 1e-12)
+            self.metrics.log("iteration", iter=it, rel_diff=rel_diff, total=E_total)
+
+            if rel_diff < cfg.conv_threshold:
+                self.metrics.log("converged", iter=it)
+                self._save_artifacts("final_refined")
+                return True
+            if E_vec[-2] < E_total:
+                self.metrics.log("diverged", iter=it)
+                self._save_artifacts("final_refined")
+                return False
+
+            if it == 5 and cfg.upsample:
+                if w_l == 0.0:
+                    w_l = 1.0
+                laplacian_reg = True
+                T.tic()
+                self._upsample()
+                T.toc("upsample", self.dist)
+                self._save_artifacts(f"upsample_after_{it}")
+                _, _, E_l, _ = self.energies()
+                if E_l > 0:
+                    w_l *= E / E_l
+                E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
+                E_vec.append(E_total)
+
+            if it > 15 and cfg.upsample:
+                w_l = 0.0
+                laplacian_reg = False
+
+            it += 1
+            if it % 3 == 0:
+                self.save_poses(f"after_poses_opt_{it}")
+                self._save_artifacts(f"after_iter_{it}")
+
+        return False
+
+    # ------------------------------------------------------------ upsample
+
+    def _upsample(self) -> None:
+        self.sync_to_volume()
+        self.vol, self.geom, self.keyframe_indices = upsample_volume(
+            self.vol, self.geom, self.keyframe_indices, self.truncation
+        )
+        self.prob = extract_problem(self.vol, self.geom, self.keyframe_indices)
+        self.dist = self.prob.dist
+        self.albedo = self.prob.albedo
+        self.grad_stored = self.prob.grad_stored
+        self.metrics.log(
+            "upsample", voxel_size=self.geom.voxel_size,
+            dims=list(self.geom.dims), surface_voxels=int(self.prob.n_surface),
+        )
+
+    # ------------------------------------------------------------ exports
+
+    def sync_to_volume(self) -> None:
+        self.vol = writeback(self.vol, self.prob, self.dist, self.albedo, self.grad_stored)
+
+    def _save_artifacts(self, tag: str) -> None:
+        if not self.save_path:
+            return
+        self.sync_to_volume()
+        os.makedirs(self.save_path, exist_ok=True)
+        self.extract_mesh(tag)
+        self.save_pointcloud(tag)
+
+    def extract_mesh(self, tag: str) -> bool:
+        self.sync_to_volume()
+        mesh = extract_mesh_from_volume(
+            np.asarray(self.vol.dist), np.asarray(self.vol.weight),
+            np.asarray(self.vol.color), self.geom.voxel_size, self.geom.origin,
+        )
+        return ply.write_mesh_ply(
+            os.path.join(self.save_path, f"{tag}_mesh.ply"),
+            mesh.vertices, mesh.faces, mesh.colors,
+        )
+
+    def save_pointcloud(self, tag: str) -> bool:
+        """x = c_v - d ghat with normals ghat (OptimizerAux.cpp:456-511)."""
+        prob, dist = self.prob, self.dist
+        n = int(prob.n_surface)
+        ghat = np.asarray(geometry.normalize(self.grad_stored))[:n]
+        c_v = np.asarray(self.geom.voxel2world(prob.idx_xyz))[:n]
+        d = np.asarray(dist)[:n]
+        pts = c_v - d[:, None] * ghat
+        cols = np.asarray(self.albedo)[:n]
+        return ply.write_pointcloud_ply(
+            os.path.join(self.save_path, f"{tag}_pointcloud.ply"), pts, ghat, cols
+        )
+
+    def save_poses(self, tag: str) -> bool:
+        if not self.save_path:
+            return False
+        os.makedirs(self.save_path, exist_ok=True)
+        return trajectory.write_trajectory(
+            os.path.join(self.save_path, f"{tag}.txt"),
+            self.timestamps,
+            [np.asarray(p) for p in self.poses],
+        )
+
+    def save_sdf(self, tag: str) -> bool:
+        self.sync_to_volume()
+        dist = np.asarray(self.vol.dist)
+        band = np.abs(dist) <= np.sqrt(3.0) * self.geom.voxel_size
+        if not band.any():
+            return False
+        zz, yy, xx = np.nonzero(band)
+        sl = (
+            slice(zz.min(), zz.max() + 1),
+            slice(yy.min(), yy.max() + 1),
+            slice(xx.min(), xx.max() + 1),
+        )
+        bottom = (
+            xx.min() * self.geom.voxel_size,
+            yy.min() * self.geom.voxel_size,
+            zz.min() * self.geom.voxel_size,
+        )
+        return sdf_io.write_sdf(
+            os.path.join(self.save_path, tag), dist[sl], bottom, self.geom.voxel_size
+        )

@@ -97,9 +97,8 @@ def extract_problem(
     cmap = np.full((Z, Y, X), -1, dtype=np.int32)
     cmap[zz, yy, xx] = np.arange(n, dtype=np.int32)
 
-    def padded(a, shape_tail=(), dtype=np.float32, fill=0):
-        out = np.full((capacity,) + shape_tail, fill, dtype=dtype)
-        return out
+    def padded(shape_tail=(), dtype=np.float32, fill=0):
+        return np.full((capacity,) + shape_tail, fill, dtype=dtype)
 
     idx_xyz = padded((3,), np.int32)
     idx_xyz[:n] = np.stack([xx, yy, zz], axis=-1)

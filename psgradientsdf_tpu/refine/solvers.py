@@ -1,0 +1,361 @@
+"""Matrix-free block Gauss-Newton solves for the alternating refinement.
+
+Replaces the reference's Eigen sparse-triplet assembly + ConjugateGradient
+(PsOptimizer.cpp:85-234) with TPU-friendly dense batched linear algebra:
+
+  * light / pose blocks: the normal equations are exactly block-diagonal
+    (each residual touches one frame), so the "CG solve on the full sparse
+    system" of the reference reduces to per-frame BxB / 6x6 Cholesky solves
+    — mathematically identical, massively faster;
+  * albedo / distance blocks: matrix-free CG where H.x is computed by a
+    forward J.x (gathers over the 4-voxel stencil) followed by J^T.(W.J.x)
+    (scatter-adds at the same indices) — no sparse matrix is ever built,
+    and the reference's O(N) std::find per nonzero disappears;
+  * damping is the reference's multiplicative diag scaling
+    H.diag += damping * H.diag (PsOptimizer.cpp:103-105).
+
+Update rules mirror OptimizerAux.cpp:108-205: clamped albedo updates,
+distance-step rejection at sqrt(3)*h, split translation/rotation pose
+update t -= xi_t, R <- R exp(-xi_w).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from psgradientsdf_tpu.refine import geometry
+from psgradientsdf_tpu.refine.jacobians import DistJacobian
+from psgradientsdf_tpu.refine.problem import RefineProblem
+from psgradientsdf_tpu.refine.render import ResidualData
+from psgradientsdf_tpu.utils import se3
+
+
+# ---------------------------------------------------------------- stencil ops
+
+def stencil_apply(x: jax.Array, J0: jax.Array, Ji: jax.Array,
+                  nbr_idx: jax.Array) -> jax.Array:
+    """Forward J.x for a 4-point stencil operator.
+
+    x [N] variables; J0 [N,...] self coefficients; Ji [N,3,...] neighbor
+    coefficients; nbr_idx [N,3] compact neighbor indices (-1 = frozen, no
+    column).  Returns [N,...]."""
+    safe = jnp.maximum(nbr_idx, 0)
+    x_nbr = jnp.where(nbr_idx >= 0, x[safe], 0.0)     # [N,3]
+    extra = (1,) * (J0.ndim - 1)
+    out = J0 * x.reshape(x.shape + extra)
+    for ax in range(3):
+        out = out + Ji[:, ax] * x_nbr[:, ax].reshape(x.shape + extra)
+    return out
+
+
+def stencil_apply_T(y: jax.Array, J0: jax.Array, Ji: jax.Array,
+                    nbr_idx: jax.Array) -> jax.Array:
+    """Transpose J^T.y: reduce over residual dims, scatter-add at neighbors."""
+    red_axes = tuple(range(1, y.ndim))
+    self_term = jnp.sum(J0 * y, axis=red_axes)
+    out = self_term
+    for ax in range(3):
+        contrib = jnp.sum(Ji[:, ax] * y, axis=red_axes)
+        contrib = jnp.where(nbr_idx[:, ax] >= 0, contrib, 0.0)
+        out = out.at[jnp.maximum(nbr_idx[:, ax], 0)].add(contrib)
+    return out
+
+
+def stencil_diag(w: jax.Array, J0: jax.Array, Ji: jax.Array,
+                 nbr_idx: jax.Array) -> jax.Array:
+    """diag(J^T W J) for the stencil operator (needed for damping)."""
+    red_axes = tuple(range(1, J0.ndim))
+    diag = jnp.sum(w * J0 * J0, axis=red_axes)
+    for ax in range(3):
+        contrib = jnp.sum(w * Ji[:, ax] * Ji[:, ax], axis=red_axes)
+        contrib = jnp.where(nbr_idx[:, ax] >= 0, contrib, 0.0)
+        diag = diag.at[jnp.maximum(nbr_idx[:, ax], 0)].add(contrib)
+    return diag
+
+
+# -------------------------------------------------------------- regularizers
+
+class RegOperator(NamedTuple):
+    """Linearized regularizer: residual r plus stencil Jacobian (J0, Ji)."""
+    r: jax.Array      # [N]
+    J0: jax.Array     # [N]
+    Ji: jax.Array     # [N,3]
+    nbr_idx: jax.Array
+
+
+def eikonal_operator(prob: RefineProblem, dist: jax.Array, voxel_size: float) -> RegOperator:
+    """(||grad d|| - 1) residual + Jacobian (Optimizer.cpp:196-218,477-537)."""
+    grad = geometry.fd_grad(prob, dist, voxel_size)           # [N,3]
+    gnorm = jnp.linalg.norm(grad, axis=-1)
+    r = jnp.where(prob.valid, gnorm - 1.0, 0.0)
+    inv_h = 1.0 / voxel_size
+    n_d0 = -inv_h * prob.nbr_dir                              # [N,3]
+    J0 = jnp.sum(grad * n_d0, axis=-1)
+    Ji = grad * prob.nbr_dir * inv_h                          # [N,3]
+    scale = jnp.where(gnorm > 0.0, 1.0 / jnp.maximum(gnorm, 1e-12), 1.0)
+    J0 = jnp.where(prob.valid, J0 * scale, 0.0)
+    Ji = jnp.where(prob.valid[:, None], Ji * scale[:, None], 0.0)
+    return RegOperator(r=r, J0=J0, Ji=Ji, nbr_idx=prob.nbr_idx)
+
+
+class LapOperator(NamedTuple):
+    r: jax.Array      # [N]
+    lap_idx: jax.Array
+    diag_coef: float
+    nbr_coef: float
+
+
+def laplacian_operator(prob: RefineProblem, dist: jax.Array, voxel_size: float,
+                       diag_only: bool = False) -> LapOperator:
+    """Laplacian residual + Jacobian (Optimizer.cpp:540-590).
+
+    diag_only=True reproduces the reference verbatim: its neighbor triplets
+    are constructed but never pushed (Optimizer.cpp:569,578), leaving only
+    the -6/h^2 diagonal.  Default False uses the correct stencil."""
+    inv_h2 = 1.0 / (voxel_size * voxel_size)
+    lap = geometry.fd_laplacian(prob, dist, voxel_size)
+    r = jnp.where(prob.valid, lap, 0.0)
+    return LapOperator(
+        r=r,
+        lap_idx=prob.lap_idx,
+        diag_coef=-6.0 * inv_h2,
+        nbr_coef=0.0 if diag_only else inv_h2,
+    )
+
+
+def lap_apply(x: jax.Array, op: LapOperator, valid: jax.Array) -> jax.Array:
+    out = op.diag_coef * x
+    if op.nbr_coef != 0.0:
+        safe = jnp.maximum(op.lap_idx, 0)
+        x_nbr = jnp.where(op.lap_idx >= 0, x[safe], 0.0)      # [N,6]
+        out = out + op.nbr_coef * jnp.sum(x_nbr, axis=-1)
+    return jnp.where(valid, out, 0.0)
+
+
+def lap_apply_T(y: jax.Array, op: LapOperator, valid: jax.Array) -> jax.Array:
+    y = jnp.where(valid, y, 0.0)
+    out = op.diag_coef * y
+    if op.nbr_coef != 0.0:
+        for k in range(6):
+            contrib = jnp.where(op.lap_idx[:, k] >= 0, op.nbr_coef * y, 0.0)
+            out = out.at[jnp.maximum(op.lap_idx[:, k], 0)].add(contrib)
+    return out
+
+
+def lap_diag(op: LapOperator, valid: jax.Array) -> jax.Array:
+    diag = jnp.where(valid, op.diag_coef ** 2, 0.0) * jnp.ones_like(op.r)
+    if op.nbr_coef != 0.0:
+        for k in range(6):
+            contrib = jnp.where(
+                (op.lap_idx[:, k] >= 0) & valid, op.nbr_coef ** 2, 0.0
+            )
+            diag = diag.at[jnp.maximum(op.lap_idx[:, k], 0)].add(contrib)
+    return diag
+
+
+# ------------------------------------------------------------ distance solve
+
+def solve_distance(
+    prob: RefineProblem,
+    rd: ResidualData,
+    DJ: DistJacobian,
+    dist: jax.Array,
+    voxel_size: float,
+    *,
+    reg_weight_n: float,
+    reg_weight_l: float,
+    damping: float,
+    laplacian_diag_only: bool = False,
+    cg_iters: int = 100,
+    cg_tol: float = 1e-6,
+) -> jax.Array:
+    """CG on (J^T W J + reg + damping diag) dd = J^T W r + reg terms
+    (PsOptimizer.cpp:124-172). Returns the GN step delta_d [N]."""
+    w = rd.w                                           # [N,F,3]
+    b = stencil_apply_T(w * rd.r, DJ.J0, DJ.Ji, prob.nbr_idx)
+    diag = stencil_diag(w, DJ.J0, DJ.Ji, prob.nbr_idx)
+
+    use_eik = reg_weight_n != 0.0
+    use_lap = reg_weight_l != 0.0
+    eik = eikonal_operator(prob, dist, voxel_size) if use_eik else None
+    lap = (
+        laplacian_operator(prob, dist, voxel_size, laplacian_diag_only)
+        if use_lap
+        else None
+    )
+    if use_eik:
+        b = b + reg_weight_n * stencil_apply_T(eik.r, eik.J0, eik.Ji, eik.nbr_idx)
+        diag = diag + reg_weight_n * stencil_diag(
+            jnp.ones_like(eik.J0), eik.J0, eik.Ji, eik.nbr_idx
+        )
+    if use_lap:
+        b = b + reg_weight_l * lap_apply_T(lap.r, lap, prob.valid)
+        diag = diag + reg_weight_l * lap_diag(lap, prob.valid)
+
+    def matvec(x):
+        out = stencil_apply_T(
+            w * stencil_apply(x, DJ.J0, DJ.Ji, prob.nbr_idx),
+            DJ.J0, DJ.Ji, prob.nbr_idx,
+        )
+        if use_eik:
+            out = out + reg_weight_n * stencil_apply_T(
+                stencil_apply(x, eik.J0, eik.Ji, eik.nbr_idx),
+                eik.J0, eik.Ji, eik.nbr_idx,
+            )
+        if use_lap:
+            out = out + reg_weight_l * lap_apply_T(
+                lap_apply(x, lap, prob.valid), lap, prob.valid
+            )
+        out = out + damping * diag * x
+        # keep padded rows inert (identity) so CG is well-posed
+        return jnp.where(prob.valid, out, x)
+
+    b = jnp.where(prob.valid, b, 0.0)
+    delta, _ = jax.scipy.sparse.linalg.cg(matvec, b, maxiter=cg_iters, tol=cg_tol)
+    return jnp.where(prob.valid, delta, 0.0)
+
+
+def update_distance(
+    prob: RefineProblem, dist: jax.Array, delta: jax.Array, voxel_size: float
+) -> Tuple[jax.Array, jax.Array]:
+    """d -= delta where |delta| < sqrt(3) h (OptimizerAux.cpp:162-188), then
+    refresh the stored gradient (updateGrad: grad := FD grad).
+    Returns (new_dist, new_grad_stored)."""
+    ok = (jnp.abs(delta) < jnp.sqrt(3.0) * voxel_size) & prob.valid
+    new_dist = jnp.where(ok, dist - delta, dist)
+    new_grad = geometry.fd_grad(prob, new_dist, voxel_size)
+    return new_dist, new_grad
+
+
+# -------------------------------------------------------------- albedo solve
+
+def solve_albedo(
+    prob: RefineProblem,
+    rd: ResidualData,
+    J_rho,                 # [N,F] (SH, channel-shared) or [N,F,3] (LED)
+    albedo: jax.Array,
+    voxel_size: float,
+    *,
+    reg_weight_rho: float,
+    damping: float,
+    cg_iters: int = 100,
+    cg_tol: float = 1e-6,
+) -> jax.Array:
+    """Albedo GN step (PsOptimizer.cpp:85-121). Variables [N,3]."""
+    if J_rho.ndim == 2:
+        J = J_rho[..., None] * jnp.ones((1, 1, 3), dtype=J_rho.dtype)
+    else:
+        J = J_rho
+    w = rd.w
+    b = jnp.einsum("nfc,nfc->nc", J, w * rd.r)
+    diag = jnp.einsum("nfc,nfc->nc", J * J, w)
+
+    use_reg = reg_weight_rho != 0.0
+    if use_reg:
+        ag = geometry.fd_albedo_grad(prob, albedo, voxel_size)   # [N,3ax,3ch]
+        norms = jnp.linalg.norm(ag, axis=1)                      # [N,3ch]
+        r_reg = jnp.where(prob.valid[:, None], norms, 0.0)
+        inv_h = 1.0 / voxel_size
+        scale = jnp.where(norms != 0.0, 1.0 / jnp.maximum(norms, 1e-12), 1.0)
+        # J0[c] = (sum_ax ag[ax,c] * -dir_ax/h) / norm_c ; Ji[ax,c] = ag[ax,c]*dir_ax/h / norm_c
+        J0r = jnp.einsum("nac,na->nc", ag, -inv_h * prob.nbr_dir) * scale
+        Jir = ag * (prob.nbr_dir * inv_h)[..., None] * scale[:, None, :]
+        J0r = jnp.where(prob.valid[:, None], J0r, 0.0)
+        Jir = jnp.where(prob.valid[:, None, None], Jir, 0.0)
+
+        def reg_apply(x):      # x [N,3] -> [N,3]
+            safe = jnp.maximum(prob.nbr_idx, 0)
+            x_nbr = jnp.where((prob.nbr_idx >= 0)[..., None], x[safe], 0.0)  # [N,3ax,3ch]
+            return J0r * x + jnp.sum(Jir * x_nbr, axis=1)
+
+        def reg_apply_T(y):    # y [N,3] -> [N,3]
+            out = J0r * y
+            for ax in range(3):
+                contrib = jnp.where(
+                    (prob.nbr_idx[:, ax] >= 0)[:, None], Jir[:, ax] * y, 0.0
+                )
+                out = out.at[jnp.maximum(prob.nbr_idx[:, ax], 0)].add(contrib)
+            return out
+
+        b = b + reg_weight_rho * reg_apply_T(r_reg)
+        dreg = J0r * J0r
+        for ax in range(3):
+            contrib = jnp.where(
+                (prob.nbr_idx[:, ax] >= 0)[:, None], Jir[:, ax] ** 2, 0.0
+            )
+            dreg = dreg.at[jnp.maximum(prob.nbr_idx[:, ax], 0)].add(contrib)
+        diag = diag + reg_weight_rho * dreg
+
+    def matvec(x):
+        out = jnp.einsum("nfc,nfc->nc", J, w * (J * x[:, None, :]))
+        if use_reg:
+            out = out + reg_weight_rho * reg_apply_T(reg_apply(x))
+        out = out + damping * diag * x
+        return jnp.where(prob.valid[:, None], out, x)
+
+    b = jnp.where(prob.valid[:, None], b, 0.0)
+    delta, _ = jax.scipy.sparse.linalg.cg(matvec, b, maxiter=cg_iters, tol=cg_tol)
+    return jnp.where(prob.valid[:, None], delta, 0.0)
+
+
+def update_albedo(prob: RefineProblem, albedo: jax.Array, delta: jax.Array) -> jax.Array:
+    """rho -= delta per channel, accepted only if the result lies strictly in
+    (0,1) (OptimizerAux.cpp:120-150)."""
+    cand = albedo - delta
+    ok = (cand > 0.0) & (cand < 1.0) & prob.valid[:, None]
+    return jnp.where(ok, cand, albedo)
+
+
+# --------------------------------------------------------------- light solve
+
+def solve_light_sh(
+    rd: ResidualData, J_l: jax.Array
+) -> jax.Array:
+    """Per-frame BxB normal equations (lightJacobian + CG,
+    PsOptimizer.cpp:175-203; block-diagonal -> exact per-frame solves).
+    J_l [N,3,B] frame-independent; returns delta_l [F,B]. No damping
+    (faithful to the reference)."""
+    w = rd.w                                              # [N,F,3]
+    H = jnp.einsum("nfc,ncb,ncd->fbd", w, J_l, J_l)
+    g = jnp.einsum("nfc,ncb,nfc->fb", w, J_l, rd.r)
+    B = J_l.shape[-1]
+    jitter = 1e-8 * jnp.eye(B, dtype=H.dtype)
+    return jnp.linalg.solve(H + jitter, g[..., None])[..., 0]
+
+
+def solve_light_led(rd: ResidualData, J_l: jax.Array, damping: float) -> jax.Array:
+    """Global RGB LED intensity: 3 independent scalars
+    (LedOptimizer.cpp:134-160, with damping). J_l [N,F,3]."""
+    H = jnp.einsum("nfc,nfc->c", rd.w * J_l, J_l)
+    g = jnp.einsum("nfc,nfc->c", rd.w * J_l, rd.r)
+    H = H * (1.0 + damping)
+    return g / jnp.maximum(H, 1e-12)
+
+
+# ---------------------------------------------------------------- pose solve
+
+def solve_pose(rd: ResidualData, J_c: jax.Array, damping: float) -> jax.Array:
+    """Per-frame 6x6 solves (poseJacobian + CG, PsOptimizer.cpp:207-234;
+    block-diagonal -> exact). J_c [N,F,3,6]; returns delta_xi [F,6]."""
+    w = rd.w
+    H = jnp.einsum("nfc,nfcb,nfcd->fbd", w, J_c, J_c)
+    g = jnp.einsum("nfc,nfcb,nfc->fb", w, J_c, rd.r)
+    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    # multiplicative damping on the diagonal (PsOptimizer.cpp:103-105)
+    H = H.at[..., jnp.arange(6), jnp.arange(6)].add(damping * diag)
+    jitter = 1e-8 * jnp.eye(6, dtype=H.dtype)
+    return jnp.linalg.solve(H + jitter, g[..., None])[..., 0]
+
+
+def update_poses(poses: jax.Array, delta_xi: jax.Array) -> jax.Array:
+    """t -= xi_t;  R <- R exp(-xi_w)  (OptimizerAux.cpp:190-205)."""
+    R = poses[:, :3, :3]
+    t = poses[:, :3, 3]
+    new_t = t - delta_xi[:, :3]
+    new_R = jnp.einsum("fij,fjk->fik", R, se3.so3_exp(-delta_xi[:, 3:]))
+    out = poses.at[:, :3, :3].set(new_R)
+    return out.at[:, :3, 3].set(new_t)

@@ -1,0 +1,134 @@
+"""End-to-end refinement smoke tests on a synthetic Lambertian scene."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psgradientsdf_tpu.config import OptimizerConfig, SH1, LED
+from psgradientsdf_tpu.refine.optimizer import PhotometricRefiner
+from psgradientsdf_tpu.utils import robust, se3
+
+from helpers import wavy_scene, shaded_images
+
+
+def build_refiner(model=SH1, upsample=False, n_poses=2, save_path=""):
+    poses = [jnp.eye(4, dtype=jnp.float32)]
+    for i in range(1, n_poses):
+        xi = 0.02 * jnp.asarray(
+            np.random.RandomState(i).randn(6).astype(np.float32)
+        )
+        poses.append(se3.se3_exp(xi))
+    sc = wavy_scene(dim=48, h=0.03, H=64, W=64, f=60.0, poses=poses)
+    light_gt = jnp.array([0.1, 0.2, -0.15, 0.85], dtype=jnp.float32)
+    images = shaded_images(sc["frames"], light_gt, order=1)
+
+    cfg = OptimizerConfig(
+        max_it=4, conv_threshold=1e-6, damping=1.0, lam=0.2,
+        reg_weight_n=1.0, reg_weight_l=0.0, reg_weight_rho=0.0,
+        order=1, upsample=upsample, model=model, loss=robust.CAUCHY,
+    )
+    ref = PhotometricRefiner(
+        sc["vol"], sc["geom"], cfg, np.asarray(sc["K"]),
+        save_path=save_path, truncation=sc["truncation"],
+    )
+    ref.set_keyframes(
+        images, jnp.stack([p for p in poses]), list(range(n_poses)),
+        [f"{i:03d}" for i in range(n_poses)],
+    )
+    ref.init()
+    return ref, light_gt
+
+
+def test_init_and_energies():
+    ref, light_gt = build_refiner()
+    assert int(ref.prob.n_surface) > 500
+    ref.init_albedo()
+    E, E_n, E_l, E_r = ref.energies()
+    assert np.isfinite([E, E_n, E_l, E_r]).all()
+    assert E > 0
+
+
+def test_albedo_block_reduces_energy():
+    ref, light_gt = build_refiner()
+    ref.init_albedo()
+    # set lights to ground truth so the albedo solve has the right target
+    ref.lights = jnp.broadcast_to(light_gt, ref.lights.shape)
+    E0 = ref.energies()[0]
+    from psgradientsdf_tpu.refine.optimizer import _albedo_block
+    for _ in range(3):
+        ref.albedo = _albedo_block(
+            *ref._args(), **ref._static_kwargs(), reg_weight_rho=0.0, damping=1.0
+        )
+    E1 = ref.energies()[0]
+    assert np.isfinite(E1)
+    assert E1 < E0, (E0, E1)
+
+
+def test_light_block_recovers_light_with_gt_albedo():
+    """With albedo fixed at ground truth the light solve is well-posed and a
+    single GN step must land near the GT SH light.  (With mean-intensity
+    albedo init the albedo absorbs the shading and ambient-only light is the
+    true LSQ optimum — an inherent rho*l ambiguity shared with the
+    reference, so direction recovery is only testable this way.)"""
+    ref, light_gt = build_refiner()
+    # ground-truth albedo at the surface points
+    from psgradientsdf_tpu.refine import render as render_mod
+    pts = render_mod.surface_points_world(
+        ref.prob, ref.geom, ref.dist, ref.grad_stored
+    )
+    x, y = pts[:, 0], pts[:, 1]
+    ref.albedo = jnp.stack(
+        [
+            0.5 + 0.2 * jnp.sin(10 * x),
+            0.5 + 0.2 * jnp.cos(8 * y),
+            0.5 + 0.15 * jnp.sin(6 * (x + y)),
+        ],
+        axis=-1,
+    )
+    from psgradientsdf_tpu.refine.optimizer import _light_block
+    E0 = ref.energies()[0]
+    for _ in range(2):
+        ref.lights = _light_block(*ref._args(), **ref._static_kwargs(), damping=1.0)
+    E1 = ref.energies()[0]
+    assert E1 < E0
+    l = np.asarray(ref.lights)[0]
+    gt = np.asarray(light_gt)
+    cos = l[1:] @ gt[1:] / (np.linalg.norm(l[1:]) * np.linalg.norm(gt[1:]) + 1e-9)
+    assert cos > 0.9, (l, gt)
+    np.testing.assert_allclose(l, gt, atol=0.15)
+
+
+def test_alternating_optimize_runs(tmp_path):
+    ref, light_gt = build_refiner(save_path=str(tmp_path))
+    ok = ref.alternating_optimize(light=True, albedo=True, distance=True, pose=True)
+    # must terminate without NaN; energies finite
+    E = ref.energies()[0]
+    assert np.isfinite(E)
+    # artifacts saved on convergence/divergence or periodic dumps
+    # (either final_refined or after_iter files)
+    files = list(tmp_path.iterdir())
+    assert any("pointcloud" in f.name or "mesh" in f.name for f in files) or not ok
+
+
+def test_dist_block_reduces_geometry_error():
+    """Perturb distances; the distance solve should pull them back."""
+    ref, light_gt = build_refiner()
+    ref.init_albedo()
+    ref.lights = jnp.broadcast_to(light_gt, ref.lights.shape)
+    rng = np.random.RandomState(0)
+    d_true = ref.dist
+    noise = jnp.asarray(
+        (0.2 * ref.geom.voxel_size * rng.randn(*d_true.shape)).astype(np.float32)
+    )
+    ref.dist = d_true + jnp.where(ref.prob.valid, noise, 0.0)
+    E0 = ref.energies()[0]
+    from psgradientsdf_tpu.refine.optimizer import _dist_block
+    for _ in range(2):
+        ref.dist, ref.grad_stored = _dist_block(
+            *ref._args(), **ref._static_kwargs(),
+            reg_weight_n=0.5, reg_weight_l=0.0, damping=1.0,
+            laplacian_diag_only=False,
+        )
+    E1 = ref.energies()[0]
+    assert np.isfinite(E1)
+    assert E1 < E0, (E0, E1)
