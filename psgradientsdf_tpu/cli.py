@@ -1,0 +1,49 @@
+"""Command-line entry point: `python -m psgradientsdf_tpu.cli --config_file x.json`.
+
+Replaces the reference's CLI11 voxelPS binary (cpp/voxel_ps/src/main_ps.cpp:54-62)
+with the same single --config_file interface plus a few TPU extras.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from psgradientsdf_tpu.config import load_config
+from psgradientsdf_tpu.pipeline import ReconstructionPipeline
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="psgradientsdf-tpu",
+        description="TPU-native RGB-D reconstruction via Gradient-SDF + "
+        "multi-view photometric refinement",
+    )
+    ap.add_argument("--config_file", required=True, help="JSON config (reference schema)")
+    ap.add_argument("--no-refine", action="store_true",
+                    help="stop after tracking+fusion (skip photometric refinement)")
+    ap.add_argument("--summary-json", default="",
+                    help="write the run summary to this JSON file")
+    ap.add_argument("--platform", default="", choices=["", "cpu", "tpu", "gpu", "axon"],
+                    help="force a jax platform (e.g. cpu) before any device use")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    print(f"load the config file from: {args.config_file}")
+    cfg = load_config(args.config_file)
+    pipe = ReconstructionPipeline(cfg)
+    summary = pipe.run(refine=not args.no_refine)
+    summary_small = {k: v for k, v in summary.items() if k != "track_log"}
+    print(json.dumps(summary_small, default=float))
+    if args.summary_json:
+        with open(args.summary_json, "w") as fh:
+            json.dump(summary, fh, default=float)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -68,6 +68,14 @@ class ImageLoader:
         self.timestamp_depth = ""
         self.K = np.eye(3, dtype=np.float32)
 
+    @property
+    def rgb_timestamp(self) -> str:
+        return self.timestamp_rgb
+
+    @property
+    def depth_timestamp(self) -> str:
+        return self.timestamp_depth
+
     def load_intrinsics(self, filename: str = "intrinsics.txt") -> bool:
         fp = os.path.join(self.path, filename)
         if not os.path.isfile(fp):

@@ -1,0 +1,233 @@
+"""Sharded execution paths: multi-chip fusion, tracking, and refinement.
+
+Three parallelization idioms, each used where it fits (SURVEY §5.7-5.8):
+
+  1. GSPMD auto-partitioning (fusion, refinement blocks): annotate input
+     shardings (Z-slabs for the volume / compacted surface arrays, optional
+     keyframe sharding for images) and jit — XLA inserts the collectives.
+     Fusion is purely voxel-local so it lowers to zero communication.
+  2. Explicit shard_map + psum (tracking): the per-pixel Gradient-SDF
+     gather is data-dependent, so each shard gathers only the points that
+     land in its Z-slab (masked local gather) and the 6x6 GN normal
+     equations reduce with a single psum per iteration — the reference's
+     serial pixel loop (RigidPointOptimizer.cpp:38-60) was "literally a
+     psum" (SURVEY §5.8).
+  3. shard_map + ppermute halos (dense stencils): 1-voxel Z halos for
+     finite differences, see halo.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from psgradientsdf_tpu.core.grid import GridGeometry
+from psgradientsdf_tpu.core.volume import GradSdfVolume, fuse_frame
+from psgradientsdf_tpu.parallel.halo import padded_slab
+from psgradientsdf_tpu.parallel.mesh import FRAME_AXIS, Z_AXIS, volume_specs
+from psgradientsdf_tpu.tracking.tracker import TrackResult
+from psgradientsdf_tpu.utils import se3
+
+
+# ------------------------------------------------------------ fusion (GSPMD)
+
+def sharded_fuse_frame(mesh: Mesh, geom: GridGeometry, **static_kwargs):
+    """Returns a jitted fusion step with Z-slab output shardings pinned.
+
+    Voxel-local computation: under GSPMD this partitions with no
+    communication (each slab gathers from the replicated image maps)."""
+    specs = volume_specs()
+    out_shardings = GradSdfVolume(
+        *(NamedSharding(mesh, s) for s in specs)
+    )
+
+    @functools.partial(jax.jit, out_shardings=out_shardings)
+    def step(vol, color, depth, normals, n_sq_inv, K, pose, frame_idx):
+        return fuse_frame(
+            vol, geom, color, depth, normals, n_sq_inv, K, pose, frame_idx,
+            **static_kwargs,
+        )
+
+    return step
+
+
+# ---------------------------------------------------------- tracking (psum)
+
+def make_sharded_tracker(
+    mesh: Mesh,
+    geom: GridGeometry,
+    img_shape: Tuple[int, int],
+    *,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+    num_iterations: int = 50,
+    conv_threshold_sq: float = 1e-6,
+    damping: float = 1.0,
+):
+    """Builds a jitted multi-chip GN tracker over Z-slab volume shards.
+
+    Per GN iteration each shard computes (E, g, H, count) from the pixels
+    whose world points fall inside its slab, then one psum over the "z"
+    axis reassembles the global normal equations; the 6x6 solve and pose
+    update run replicated.  Single collective per iteration -> ICI-bound
+    cost is 4*(1+6+36+1) floats.
+    """
+    Zg = geom.shape_zyx[0]
+    n_z = mesh.shape[Z_AXIS]
+    assert Zg % n_z == 0, f"grid Z={Zg} not divisible by mesh z={n_z}"
+    Zl = Zg // n_z
+    H, W = img_shape
+
+    v_specs = volume_specs()
+    in_specs = (v_specs, P(), P(), P())
+    out_specs = (P(), P(), P(), P(), P())
+
+    def tracker_body(vol_slab: GradSdfVolume, depth, K, init_pose):
+        z0 = jax.lax.axis_index(Z_AXIS) * Zl
+        fx, fy = K[0, 0], K[1, 1]
+        cx, cy = K[0, 2], K[1, 2]
+        cols = jnp.arange(W, dtype=jnp.float32)[None, :]
+        rows = jnp.arange(H, dtype=jnp.float32)[:, None]
+        x0 = (cols - cx) / fx
+        y0 = (rows - cy) / fy
+        pts_cam = jnp.stack(
+            [jnp.broadcast_to(x0, depth.shape) * depth,
+             jnp.broadcast_to(y0, depth.shape) * depth, depth], axis=-1
+        ).reshape(-1, 3)
+        valid_z = ((depth > zmin) & (depth < zmax)).reshape(-1)
+
+        dims_f = jnp.array(geom.dims, dtype=jnp.float32)
+
+        def local_gn_terms(pose):
+            R = pose[:3, :3]
+            t = pose[:3, 3]
+            p_w = pts_cam @ R.T + t
+            f = geom.world2voxelf(p_w)
+            valid = jnp.all((f > 0.0) & (f < dims_f - 1.0), axis=-1)
+            idx = jnp.floor(f + 0.5).astype(jnp.int32)
+            zi = idx[..., 2]
+            in_slab = (zi >= z0) & (zi < z0 + Zl)
+            zl = jnp.clip(zi - z0, 0, Zl - 1)
+            yi = jnp.clip(idx[..., 1], 0, geom.dims[1] - 1)
+            xi = jnp.clip(idx[..., 0], 0, geom.dims[0] - 1)
+            d = vol_slab.dist[zl, yi, xi]
+            g3 = vol_slab.grad[zl, yi, xi]
+            w = vol_slab.weight[zl, yi, xi]
+            gnorm = jnp.linalg.norm(g3, axis=-1, keepdims=True)
+            ghat = g3 / jnp.maximum(gnorm, 1e-12)
+            c_v = geom.voxel2world(idx)
+            psi = d + jnp.sum(ghat * (c_v - p_w), axis=-1)
+            m = valid_z & valid & in_slab & (w > 0.0)
+            mf = m.astype(psi.dtype)
+            J = jnp.concatenate([ghat, jnp.cross(p_w, ghat)], axis=-1)
+            psi_m = psi * mf
+            E = jnp.sum(psi_m * psi)
+            g = J.T @ psi_m
+            Hm = (J * mf[:, None]).T @ J
+            cnt = jnp.sum(m)
+            # the one collective of the iteration
+            E, g, Hm, cnt = jax.lax.psum((E, g, Hm, cnt), Z_AXIS)
+            return E, g, Hm, cnt
+
+        def cond(carry):
+            _, k, conv, fail, _, _ = carry
+            return (k < num_iterations) & (~conv) & (~fail)
+
+        def body(carry):
+            pose, k, conv, fail, _, _ = carry
+            E, g, Hm, cnt = local_gn_terms(pose)
+            fail_now = cnt == 0
+            E_mean = E / jnp.maximum(cnt.astype(E.dtype), 1.0)
+            Hj = Hm + (1e-6 * jnp.trace(Hm) / 6.0 + 1e-12) * jnp.eye(6, dtype=Hm.dtype)
+            chol = jax.scipy.linalg.cho_factor(Hj)
+            xi = damping * jax.scipy.linalg.cho_solve(chol, g)
+            conv_now = jnp.sum(xi * xi) < conv_threshold_sq
+            new_pose = jnp.where(conv_now | fail_now, pose, se3.se3_exp(-xi) @ pose)
+            return (new_pose, k + 1, conv_now, fail_now, E_mean, cnt)
+
+        init = (init_pose, jnp.int32(0), jnp.bool_(False), jnp.bool_(False),
+                jnp.float32(0.0), jnp.int32(0))
+        pose, k, conv, fail, E_mean, cnt = jax.lax.while_loop(cond, body, init)
+        return pose, conv & (~fail), k, E_mean, cnt
+
+    mapped = shard_map(
+        tracker_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        
+    )
+
+    @jax.jit
+    def track(vol, depth, K, init_pose) -> TrackResult:
+        pose, conv, k, E, cnt = mapped(vol, depth, K, init_pose)
+        return TrackResult(pose=pose, converged=conv, iterations=k,
+                           energy=E, num_valid=cnt)
+
+    return track
+
+
+# ------------------------------------------------- dense stencils (halos)
+
+def make_sharded_eikonal_energy(mesh: Mesh, geom: GridGeometry, voxel_size: float,
+                                band: float):
+    """Mean (||forward-diff grad d|| - 1)^2 over the surface band of a
+    Z-slab-sharded dense grid, with ppermute halo exchange for the z+1 term.
+
+    The representative dense-stencil collective pattern: every FD/Laplacian
+    op on the sharded grid uses the same halo."""
+    n_z = mesh.shape[Z_AXIS]
+    Zg = geom.shape_zyx[0]
+    assert Zg % n_z == 0
+    inv_h = 1.0 / voxel_size
+
+    def body(dist_slab):
+        padded = padded_slab(dist_slab, Z_AXIS, fill=0.0)  # [Zl+2, Y, X]
+        d = dist_slab
+        dz = (padded[2:] - d) * inv_h                      # uses halo above
+        dy = (jnp.roll(d, -1, axis=1) - d) * inv_h
+        dx = (jnp.roll(d, -1, axis=2) - d) * inv_h
+        g = jnp.stack([dx, dy, dz], axis=-1)
+        in_band = jnp.abs(d) <= band
+        e = (jnp.linalg.norm(g, axis=-1) - 1.0) ** 2
+        num = jnp.sum(jnp.where(in_band, e, 0.0))
+        cnt = jnp.sum(in_band)
+        num, cnt = jax.lax.psum((num, cnt), Z_AXIS)
+        return num / jnp.maximum(cnt.astype(num.dtype), 1.0)
+
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(Z_AXIS, None, None),), out_specs=P(),
+    )
+    return jax.jit(mapped)
+
+
+# ------------------------------------------------- refinement (GSPMD)
+
+def shard_refine_arrays(mesh: Mesh, prob, images):
+    """Place a RefineProblem + keyframe images on the mesh: surface-voxel
+    axis N sharded over "z", images sharded over "frames" when divisible.
+
+    The refinement blocks then run under plain jit: GSPMD inserts the
+    psums (voxel reductions for pose/light) and all-gathers (frame
+    reductions against N-sharded residuals) automatically."""
+    n_z = mesh.shape[Z_AXIS]
+    n_f = mesh.shape[FRAME_AXIS]
+
+    def put(arr, spec):
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    def n_spec(a):
+        if a.ndim == 0 or a.shape[0] % n_z != 0:
+            return P()
+        return P(Z_AXIS, *([None] * (a.ndim - 1)))
+
+    prob_sharded = type(prob)(*(put(a, n_spec(a)) for a in prob))
+    if images.shape[0] % n_f == 0 and n_f > 1:
+        img_spec = P(FRAME_AXIS, None, None, None)
+    else:
+        img_spec = P()
+    return prob_sharded, put(images, img_spec)

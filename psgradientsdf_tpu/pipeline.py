@@ -1,0 +1,312 @@
+"""End-to-end reconstruction pipeline: track -> fuse -> select keyframes ->
+jointly refine -> export.
+
+TPU-native counterpart of the reference application loop
+(cpp/voxel_ps/src/main_ps.cpp:41-343): same orchestration, same artifacts
+(tracking_poses.txt, init_mesh.ply, init_pointcloud.ply, init_sdf.sdf,
+refinement outputs), but every per-frame stage is a fused jitted kernel and
+the state lives on device for the whole scan.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psgradientsdf_tpu.config import PipelineConfig
+from psgradientsdf_tpu.core.grid import GridGeometry
+from psgradientsdf_tpu.core.volume import GradSdfVolume, fuse_frame, make_volume
+from psgradientsdf_tpu.io import ply, sdf_io, trajectory
+from psgradientsdf_tpu.io.loaders import ImageLoader, make_loader
+from psgradientsdf_tpu.ops import sharpness
+from psgradientsdf_tpu.ops.marching_cubes import extract_mesh_from_volume
+from psgradientsdf_tpu.ops.normals import FalsCache, build_fals_cache, compute_normals
+from psgradientsdf_tpu.refine.optimizer import PhotometricRefiner
+from psgradientsdf_tpu.tracking.tracker import track_frame
+from psgradientsdf_tpu.utils.metrics import MetricsLogger
+from psgradientsdf_tpu.utils.timer import Timer
+
+
+def compute_centroid(K: np.ndarray, depth: np.ndarray, pose: np.ndarray) -> np.ndarray:
+    """Volume placement: centroid of the first (world-frame) vertex map
+    (main_ps.cpp:346-375)."""
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    H, W = depth.shape
+    cols = np.arange(W, dtype=np.float32)[None, :]
+    rows = np.arange(H, dtype=np.float32)[:, None]
+    m = depth > 0
+    x0 = (cols - cx) / fx
+    y0 = (rows - cy) / fy
+    pts = np.stack([x0 * depth, y0 * depth, depth], axis=-1)[m]
+    pts = pts @ pose[:3, :3].T + pose[:3, 3]
+    return pts.mean(axis=0).astype(np.float32)
+
+
+def sample_keyframes(
+    indices: List[int], stamps: List[str], images: List[np.ndarray],
+    poses: List[np.ndarray], max_num: int,
+) -> Tuple[List[int], List[str], List[np.ndarray], List[np.ndarray]]:
+    """Uniform down-sampling to <= max_num keyframes, always keeping the last
+    (sampleKeyFrame, main_ps.cpp:392-421)."""
+    if len(indices) < max_num:
+        return indices, stamps, images, poses
+    max_num -= 1
+    step = len(indices) / float(max_num)
+    out = ([], [], [], [])
+    idx = 0.0
+    for _ in range(max_num):
+        i = int(idx)
+        out[0].append(indices[i])
+        out[1].append(stamps[i])
+        out[2].append(images[i])
+        out[3].append(poses[i])
+        idx += step
+    out[0].append(indices[-1])
+    out[1].append(stamps[-1])
+    out[2].append(images[-1])
+    out[3].append(poses[-1])
+    return out
+
+
+class ReconstructionPipeline:
+    """The full voxelPS pipeline (main_ps.cpp), TPU-first."""
+
+    def __init__(self, cfg: PipelineConfig, loader: Optional[ImageLoader] = None,
+                 metrics: Optional[MetricsLogger] = None):
+        self.cfg = cfg
+        self.loader = loader or make_loader(cfg.tracking.datatype, cfg.tracking.input)
+        out = cfg.tracking.output
+        if out:
+            os.makedirs(out, exist_ok=True)
+        self.metrics = metrics or MetricsLogger(
+            os.path.join(out, "metrics.jsonl") if out else None
+        )
+        self.timer = Timer(verbose=False)
+        self.vol: Optional[GradSdfVolume] = None
+        self.geom: Optional[GridGeometry] = None
+        self.refiner: Optional[PhotometricRefiner] = None
+        self.fals: Optional[FalsCache] = None
+        self.K: Optional[np.ndarray] = None
+        self.track_log: List[Dict] = []
+
+    # ------------------------------------------------------------ stages
+
+    def run(self, refine: bool = True) -> Dict:
+        cfg = self.cfg
+        tr = cfg.tracking
+        if not self.loader.load_intrinsics():
+            raise FileNotFoundError(f"No intrinsics file found in {tr.input}")
+        self.K = self.loader.K
+        first = self.loader.load_next()
+        if first is None:
+            raise RuntimeError("Frame could not be loaded")
+        color0, depth0 = first
+        H, W = depth0.shape
+        if color0.shape[:2] != depth0.shape:
+            raise RuntimeError("depth image and color image sizes don't match")
+        self.loader.reset()
+
+        self.timer.tic()
+        self.fals = build_fals_cache(H, W, self.K, window=11)
+        self.timer.toc("init_normal_estimation")
+
+        gt_poses = self.loader.load_pose(tr.pose_file)
+        gt = gt_poses is not None
+        self.metrics.log("start", gt_poses=gt, frames=f"{tr.first}..{tr.last}",
+                         image=f"{H}x{W}")
+
+        # skip to first frame
+        for _ in range(tr.first):
+            self.loader.load_next()
+
+        truncation = cfg.truncation
+        pose_lines: List[str] = []
+        key_indices: List[int] = [0]
+        key_stamps: List[str] = []
+        key_images: List[np.ndarray] = []
+        key_poses: List[np.ndarray] = [np.eye(4, dtype=np.float32)]
+        cur_pose = np.eye(4, dtype=np.float32)   # host copy; H2D only at kernel calls
+        dist_to_last_kf = 0
+        frames_done = 0
+        t_scan = time.perf_counter()
+
+        i = tr.first
+        while i <= tr.last:
+            nxt = self.loader.load_next()
+            if nxt is None:
+                break
+            color, depth = nxt
+            frame_counter = i - tr.first
+
+            if i == tr.first:
+                base_pose = np.asarray(gt_poses[0], np.float32) if gt else np.eye(4, np.float32)
+                centroid = compute_centroid(self.K, depth, base_pose)
+                self.geom = GridGeometry(
+                    dims=cfg.tpu.grid_dim, voxel_size=tr.voxel_size,
+                    shift=tuple(float(v) for v in centroid),
+                )
+                self.timer.tic()
+                self.vol = make_volume(self.geom, truncation, cfg.tpu.frame_cap)
+                self.timer.toc("create_sdf", self.vol.dist)
+                cur_pose = base_pose
+                self._fuse(color, depth, jnp.asarray(base_pose), frame_counter)
+                key_stamps.append(self.loader.rgb_timestamp)
+                key_images.append(color)
+                if gt:
+                    key_poses[0] = base_pose
+            elif gt:
+                pidx = min(i, len(gt_poses) - 1)
+                cur_pose = np.asarray(gt_poses[pidx], np.float32)
+                self._fuse(color, depth, jnp.asarray(cur_pose), frame_counter)
+                dist_to_last_kf = self._maybe_keyframe(
+                    color, frame_counter, cur_pose, dist_to_last_kf,
+                    key_indices, key_stamps, key_images, key_poses,
+                )
+            else:
+                self.timer.tic()
+                res = track_frame(
+                    self.vol, self.geom, jnp.asarray(depth), jnp.asarray(self.K),
+                    jnp.asarray(cur_pose), truncation=truncation, zmin=tr.zmin, zmax=tr.zmax,
+                    num_iterations=tr.num_iterations,
+                    conv_threshold_sq=tr.conv_threshold ** 2,
+                    damping=tr.damping, stride=cfg.tpu.track_stride,
+                )
+                dt = self.timer.toc("track", res.pose)
+                cur_pose = np.asarray(res.pose)
+                self.track_log.append(dict(
+                    frame=i, converged=bool(res.converged),
+                    iters=int(res.iterations), energy=float(res.energy),
+                    valid=int(res.num_valid), seconds=dt,
+                ))
+                if bool(res.converged):
+                    self._fuse(color, depth, jnp.asarray(cur_pose), frame_counter)
+                    dist_to_last_kf = self._maybe_keyframe(
+                        color, frame_counter, cur_pose, dist_to_last_kf,
+                        key_indices, key_stamps, key_images, key_poses,
+                    )
+
+            pose_lines.append(
+                trajectory.pose_line(self.loader.depth_timestamp, cur_pose)
+            )
+            frames_done += 1
+            i += 1
+
+        scan_secs = time.perf_counter() - t_scan
+        self.metrics.log(
+            "scan_done", frames=frames_done, seconds=scan_secs,
+            fps=frames_done / max(scan_secs, 1e-9), keyframes=len(key_indices),
+        )
+
+        out = tr.output
+        if out:
+            with open(os.path.join(out, "tracking_poses.txt"), "w") as fh:
+                fh.write("\n".join(pose_lines) + "\n")
+            self._export_initial(out)
+
+        summary: Dict = dict(
+            frames=frames_done, seconds=scan_secs,
+            fps=frames_done / max(scan_secs, 1e-9),
+            keyframes=len(key_indices), track_log=self.track_log,
+        )
+
+        if refine and key_images:
+            key_indices, key_stamps, key_images, key_poses = sample_keyframes(
+                key_indices, key_stamps, key_images, key_poses,
+                self.cfg.tpu.keyframe_cap,
+            )
+            self.refiner = PhotometricRefiner(
+                self.vol, self.geom, cfg.optimizer, self.K,
+                save_path=out, truncation=truncation, metrics=self.metrics,
+            )
+            self.refiner.set_keyframes(
+                np.stack(key_images), np.stack(key_poses), key_indices, key_stamps
+            )
+            self.refiner.init()
+            t0 = time.perf_counter()
+            converged = self.refiner.alternating_optimize(
+                cfg.optimizer.opt_light, cfg.optimizer.opt_albedo,
+                cfg.optimizer.opt_distance, cfg.optimizer.opt_pose,
+            )
+            summary["refine_seconds"] = time.perf_counter() - t0
+            summary["refine_converged"] = converged
+            self.vol = self.refiner.vol
+            self.geom = self.refiner.geom
+
+        return summary
+
+    # ------------------------------------------------------------ helpers
+
+    def _fuse(self, color: np.ndarray, depth: np.ndarray, pose: jax.Array,
+              frame_counter: int) -> None:
+        tr = self.cfg.tracking
+        self.timer.tic()
+        depth_j = jnp.asarray(depth)
+        normals = compute_normals(depth_j, self.fals, window=11)
+        self.vol = fuse_frame(
+            self.vol, self.geom, jnp.asarray(color), depth_j, normals,
+            self.fals.n_sq_inv, jnp.asarray(self.K), pose,
+            jnp.int32(min(frame_counter, self.cfg.tpu.frame_cap - 1)),
+            truncation=self.cfg.truncation, zmin=tr.zmin, zmax=tr.zmax,
+        )
+        self.timer.toc("fuse", self.vol.dist)
+
+    def _maybe_keyframe(
+        self, color, frame_counter, pose_np, dist_to_last_kf,
+        key_indices, key_stamps, key_images, key_poses,
+    ) -> int:
+        """Sharpness-or-gap keyframe gate (main_ps.cpp:222-258)."""
+        if (
+            sharpness.is_sharp(jnp.asarray(color), self.cfg.tracking.sharpness_threshold)
+            or dist_to_last_kf > 5
+        ):
+            key_indices.append(frame_counter)
+            key_stamps.append(self.loader.rgb_timestamp)
+            key_images.append(color)
+            key_poses.append(pose_np)
+            return 0
+        return dist_to_last_kf + 1
+
+    def _export_initial(self, out: str) -> None:
+        self.timer.tic()
+        mesh = extract_mesh_from_volume(
+            np.asarray(self.vol.dist), np.asarray(self.vol.weight),
+            np.asarray(self.vol.color), self.geom.voxel_size, self.geom.origin,
+        )
+        ply.write_mesh_ply(
+            os.path.join(out, "init_mesh.ply"), mesh.vertices, mesh.faces, mesh.colors
+        )
+        self.timer.toc("save_mesh")
+
+        # point cloud: x = c_v - d ghat over the surface band
+        dist = np.asarray(self.vol.dist)
+        grad = np.asarray(self.vol.grad)
+        colr = np.asarray(self.vol.color)
+        from psgradientsdf_tpu.core.volume import surface_band_mask
+
+        band = np.asarray(surface_band_mask(self.vol, self.geom.voxel_size))
+        zz, yy, xx = np.nonzero(band)
+        g = grad[zz, yy, xx]
+        g = g / np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+        c_v = np.asarray(self.geom.voxel2world(jnp.asarray(
+            np.stack([xx, yy, zz], axis=-1), dtype=jnp.int32)))
+        pts = c_v - dist[zz, yy, xx][:, None] * g
+        ply.write_pointcloud_ply(
+            os.path.join(out, "init_pointcloud.ply"), pts, g, colr[zz, yy, xx]
+        )
+
+        in_band = np.abs(dist) <= np.sqrt(3.0) * self.geom.voxel_size
+        if in_band.any():
+            z2, y2, x2 = np.nonzero(in_band)
+            sl = (slice(z2.min(), z2.max() + 1), slice(y2.min(), y2.max() + 1),
+                  slice(x2.min(), x2.max() + 1))
+            bottom = (x2.min() * self.geom.voxel_size,
+                      y2.min() * self.geom.voxel_size,
+                      z2.min() * self.geom.voxel_size)
+            sdf_io.write_sdf(os.path.join(out, "init_sdf.sdf"), dist[sl], bottom,
+                             self.geom.voxel_size)

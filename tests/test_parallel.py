@@ -1,0 +1,156 @@
+"""Multi-device sharding tests on the fake 8-device CPU mesh.
+
+The key property: sharded == single-device bit-for-bit (up to f32 reduction
+order) for fusion, tracking, stencil energies, and refinement blocks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psgradientsdf_tpu.core.grid import GridGeometry
+from psgradientsdf_tpu.core.volume import make_volume, fuse_frame
+from psgradientsdf_tpu.parallel import halo, mesh as mesh_mod, shard
+from psgradientsdf_tpu.refine.problem import extract_problem
+from psgradientsdf_tpu.refine.optimizer import _dist_block, _pose_block, _residuals
+from psgradientsdf_tpu.tracking.tracker import track_frame
+from psgradientsdf_tpu.utils import se3
+
+from helpers import wavy_scene
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return mesh_mod.make_mesh(n_z=4, n_frames=2)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return wavy_scene(dim=32, h=0.04, H=48, W=48, f=45.0)
+
+
+def test_mesh_shape(mesh8):
+    assert mesh8.shape == {"z": 4, "frames": 2}
+
+
+def test_shard_volume_and_fuse_matches(mesh8, scene):
+    geom, T = scene["geom"], scene["truncation"]
+    fr = scene["frames"][0]
+    vol0 = make_volume(geom, T, frame_cap=32)
+    ref = fuse_frame(
+        vol0, geom, fr["color"], fr["depth"], fr["normals"], fr["n_sq_inv"],
+        scene["K"], fr["pose"], jnp.int32(0), truncation=T, zmin=0.1, zmax=5.0,
+    )
+    vol_sh = mesh_mod.shard_volume(vol0, mesh8)
+    step = shard.sharded_fuse_frame(
+        mesh8, geom, truncation=T, zmin=0.1, zmax=5.0
+    )
+    got = step(vol_sh, fr["color"], fr["depth"], fr["normals"], fr["n_sq_inv"],
+               scene["K"], fr["pose"], jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(got.dist), np.asarray(ref.dist), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.weight), np.asarray(ref.weight), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.vis), np.asarray(ref.vis))
+    # output really is sharded as Z-slabs
+    assert "z" in str(got.dist.sharding.spec)
+
+
+def test_halo_exchange(mesh8):
+    """padded_slab reassembles exact neighbor planes."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    Z = 16
+    x = jnp.arange(Z * 4 * 4, dtype=jnp.float32).reshape(Z, 4, 4)
+
+    def body(slab):
+        return halo.padded_slab(slab, "z", fill=-1.0)
+
+    f = shard_map(body, mesh=mesh8, in_specs=(P("z", None, None),),
+                  out_specs=P("z", None, None))
+    out = np.asarray(jax.jit(f)(x))
+    # out has shape [ (Zl+2)*4, 4, 4 ] stacked per shard
+    Zl = Z // 4
+    xs = np.asarray(x)
+    for s in range(4):
+        block = out[s * (Zl + 2):(s + 1) * (Zl + 2)]
+        np.testing.assert_allclose(block[1:-1], xs[s * Zl:(s + 1) * Zl])
+        if s > 0:
+            np.testing.assert_allclose(block[0], xs[s * Zl - 1])
+        else:
+            np.testing.assert_allclose(block[0], -1.0)
+        if s < 3:
+            np.testing.assert_allclose(block[-1], xs[(s + 1) * Zl])
+        else:
+            np.testing.assert_allclose(block[-1], -1.0)
+
+
+def test_sharded_tracker_matches_single_device(mesh8, scene):
+    geom, vol, K, T = scene["geom"], scene["vol"], scene["K"], scene["truncation"]
+    depth = scene["frames"][0]["depth"]
+    xi = jnp.array([0.01, -0.008, 0.012, 0.004, -0.006, 0.005], dtype=jnp.float32)
+    init = se3.se3_exp(xi)
+
+    res_ref = track_frame(
+        vol, geom, depth, K, init, truncation=T, zmin=0.1, zmax=5.0,
+        num_iterations=12, conv_threshold_sq=1e-12, damping=1.0,
+    )
+    vol_sh = mesh_mod.shard_volume(vol, mesh8)
+    tracker = shard.make_sharded_tracker(
+        mesh8, geom, depth.shape, truncation=T, zmin=0.1, zmax=5.0,
+        num_iterations=12, conv_threshold_sq=1e-12, damping=1.0,
+    )
+    res_sh = tracker(vol_sh, depth, K, init)
+    assert int(res_sh.num_valid) == int(res_ref.num_valid)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.pose), np.asarray(res_ref.pose), atol=5e-5
+    )
+
+
+def test_sharded_eikonal_energy(mesh8, scene):
+    geom, vol, T = scene["geom"], scene["vol"], scene["truncation"]
+    band = np.sqrt(3.0) * geom.voxel_size
+    fn = shard.make_sharded_eikonal_energy(mesh8, geom, geom.voxel_size, band)
+    dist_sh = jax.device_put(
+        vol.dist,
+        jax.sharding.NamedSharding(mesh8, jax.sharding.PartitionSpec("z", None, None)),
+    )
+    e_sh = float(fn(dist_sh))
+    # single-device reference with the same forward-diff stencil
+    d = np.asarray(vol.dist)
+    inv_h = 1.0 / geom.voxel_size
+    dz = (np.concatenate([d[1:], np.zeros_like(d[:1])], 0) - d) * inv_h
+    dy = (np.roll(d, -1, 1) - d) * inv_h
+    dx = (np.roll(d, -1, 2) - d) * inv_h
+    g = np.stack([dx, dy, dz], -1)
+    m = np.abs(d) <= band
+    e_ref = (((np.linalg.norm(g, axis=-1) - 1.0) ** 2)[m]).mean()
+    np.testing.assert_allclose(e_sh, e_ref, rtol=1e-4)
+
+
+def test_sharded_refine_blocks_match(mesh8, scene):
+    """GSPMD path: dist + pose blocks with N sharded over z and images over
+    frames must reproduce the single-device result."""
+    geom, vol, K, T = scene["geom"], scene["vol"], scene["K"], scene["truncation"]
+    prob = extract_problem(vol, geom, [0])
+    F = 1
+    images = jnp.stack([scene["frames"][0]["color"]])
+    poses = jnp.eye(4, dtype=jnp.float32)[None]
+    lights = jnp.array([[0.1, 0.2, -0.15, 0.85]], dtype=jnp.float32)
+    kw = dict(model="SH1", order=1, loss=1, lam=0.2, voxel_size=geom.voxel_size)
+
+    args = (prob, geom, prob.dist, prob.albedo, prob.grad_stored, poses, images,
+            K, lights)
+    d_ref, g_ref = _dist_block(*args, **kw, reg_weight_n=0.5, reg_weight_l=0.0,
+                               damping=1.0, laplacian_diag_only=False)
+    p_ref = _pose_block(*args, **kw, damping=1.0)
+
+    prob_sh, images_sh = shard.shard_refine_arrays(mesh8, prob, images)
+    args_sh = (prob_sh, geom, prob_sh.dist, prob_sh.albedo, prob_sh.grad_stored,
+               poses, images_sh, K, lights)
+    d_sh, g_sh = _dist_block(*args_sh, **kw, reg_weight_n=0.5, reg_weight_l=0.0,
+                             damping=1.0, laplacian_diag_only=False)
+    p_sh = _pose_block(*args_sh, **kw, damping=1.0)
+
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=2e-4)
