@@ -1,0 +1,215 @@
+"""Benchmark: tracking+fusion frames/s at a 128^3 grid, TPU vs C++ CPU baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The scenario is the reference's per-frame hot path (BASELINE.md): rigid GN
+tracking (<=50 iterations, early exit ||xi||^2 < 1e-6, full-resolution
+640x480 pixels) followed by volumetric fusion into a 128^3 Gradient-SDF
+grid.  Scene, pose offsets, and convergence settings are identical on both
+sides.
+
+Baseline: the C++ reference repo cannot be built in this image (its vendored
+Eigen/Sophus submodules are empty checkouts and there is no network), so the
+baseline is bench/cpp_baseline.cpp — a faithful single-threaded plain-C++
+reimplementation of the reference's two hot loops with the same algorithm,
+AoS data layout, and budgets (see its header).  It is compiled -O3 at bench
+time and measured on this host.
+
+All diagnostics go to stderr; stdout carries exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+W, H = 640, 480
+DIM = 128
+FRAMES_TPU = 20
+FRAMES_CPP = 5
+OFFSET = np.array([0.004, -0.003, 0.005, 0.002, -0.002, 0.0015], dtype=np.float32)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_scene():
+    fx = fy = 0.9 * W
+    cx, cy = W / 2.0, H / 2.0
+    cols = np.arange(W, dtype=np.float32)[None, :]
+    rows = np.arange(H, dtype=np.float32)[:, None]
+    x0 = np.broadcast_to((cols - cx) / fx, (H, W))
+    y0 = np.broadcast_to((rows - cy) / fy, (H, W))
+    depth = (
+        1.2 + 0.08 * np.sin(6 * x0) * np.cos(5 * y0) + 0.05 * np.sin(3 * (x0 + y0))
+    ).astype(np.float32)
+    dgx = 0.08 * 6 * np.cos(6 * x0) * np.cos(5 * y0) + 0.15 * np.cos(3 * (x0 + y0))
+    dgy = -0.08 * 5 * np.sin(6 * x0) * np.sin(5 * y0) + 0.15 * np.cos(3 * (x0 + y0))
+    n = np.stack([-dgx, -dgy, np.ones_like(dgx)], axis=-1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float32)
+    n_sq_inv = (1.0 / (1.0 + x0 ** 2 + y0 ** 2)).astype(np.float32)
+    color = np.full((H, W, 3), 0.5, dtype=np.float32)
+    return K, depth, n.astype(np.float32), n_sq_inv, color
+
+
+def run_cpp_baseline() -> dict:
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench", "cpp_baseline.cpp")
+    binp = "/tmp/psgsdf_cpp_baseline"
+    if not os.path.exists(binp) or os.path.getmtime(binp) < os.path.getmtime(src):
+        log("[bench] compiling C++ baseline ...")
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-o", binp, src], check=True,
+        )
+    log("[bench] running C++ baseline ...")
+    out = subprocess.run(
+        [binp, str(W), str(H), str(DIM), str(FRAMES_CPP)],
+        check=True, capture_output=True, text=True, timeout=1200,
+    ).stdout
+    return json.loads(out)
+
+
+def wait_for_device(max_tries: int = 6, sleep_s: float = 30.0):
+    """The axon TPU tunnel can take minutes to release after a previous
+    process; retry device init with backoff (see .claude/skills/verify)."""
+    import jax
+
+    for attempt in range(max_tries):
+        try:
+            devs = jax.devices()
+            log(f"[bench] devices: {devs}")
+            return devs
+        except RuntimeError as e:
+            log(f"[bench] device init failed (attempt {attempt + 1}): {e}")
+            time.sleep(sleep_s)
+    raise RuntimeError("could not initialize jax devices")
+
+
+def run_tpu() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from psgradientsdf_tpu.core.grid import GridGeometry
+    from psgradientsdf_tpu.core.volume import fuse_frame, make_volume
+    from psgradientsdf_tpu.tracking.tracker import track_frame
+    from psgradientsdf_tpu.utils import se3
+
+    wait_for_device()
+
+    K_np, depth_np, normals_np, nsq_np, color_np = make_scene()
+    h = 1.8 / DIM
+    T = 5 * h
+    geom = GridGeometry(dims=(DIM, DIM, DIM), voxel_size=h, shift=(0.0, 0.0, 1.2))
+
+    K = jnp.asarray(K_np)
+    depth = jnp.asarray(depth_np)
+    normals = jnp.asarray(normals_np)
+    nsq = jnp.asarray(nsq_np)
+    color = jnp.asarray(color_np)
+    eye = jnp.asarray(np.eye(4, dtype=np.float32))
+    # offset pose computed host-side (numpy) — an early D2H of a computed
+    # device array can stall minutes on the axon tunnel (one-time tax)
+    from scipy.spatial.transform import Rotation
+
+    off_np = np.eye(4, dtype=np.float32)
+    th = np.linalg.norm(OFFSET[3:])
+    Rm = Rotation.from_rotvec(OFFSET[3:]).as_matrix().astype(np.float32)
+    Kh = np.array([[0, -OFFSET[5], OFFSET[4]], [OFFSET[5], 0, -OFFSET[3]],
+                   [-OFFSET[4], OFFSET[3], 0]], dtype=np.float32)
+    Vm = np.eye(3, dtype=np.float32) + 0.5 * Kh + (Kh @ Kh) / 6.0
+    off_np[:3, :3] = Rm
+    off_np[:3, 3] = Vm @ OFFSET[:3]
+    off = jnp.asarray(off_np)
+
+    vol = make_volume(geom, T, frame_cap=64)
+    fuse_kw = dict(truncation=T, zmin=0.5, zmax=3.5)
+    track_kw = dict(
+        truncation=T, zmin=0.5, zmax=3.5, num_iterations=50,
+        conv_threshold_sq=1e-6, damping=1.0,
+    )
+
+    # build the map from frame 0 (also pays compile + first-D2H tax)
+    vol = fuse_frame(vol, geom, color, depth, normals, nsq, K, eye, jnp.int32(0), **fuse_kw)
+    res = track_frame(vol, geom, depth, K, off, **track_kw)
+    _ = np.asarray(res.pose)     # warm the D2H path
+    jax.block_until_ready(vol.dist)
+    log(f"[bench] warmup done; tracker iters={int(res.iterations)}")
+
+    # steady-state: per frame = track (from offset) + fuse at the result;
+    # dispatch the whole sequence, fence once (no artificial host syncs —
+    # the device dependency chain serializes the real work)
+    frame_ids = [jnp.int32(1 + (f % 60)) for f in range(FRAMES_TPU)]
+    t0 = time.perf_counter()
+    iters_dev = []
+    for f in range(FRAMES_TPU):
+        res = track_frame(vol, geom, depth, K, off, **track_kw)
+        vol = fuse_frame(
+            vol, geom, color, depth, normals, nsq, K, res.pose,
+            frame_ids[f], **fuse_kw,
+        )
+        iters_dev.append(res.iterations)
+    jax.block_until_ready(vol.dist)
+    dt = time.perf_counter() - t0
+    fps = FRAMES_TPU / dt
+    iters = int(np.sum([int(i) for i in iters_dev]))
+
+    # fixed-budget GN iteration rate (no early exit) for iters/s
+    res50 = track_frame(vol, geom, depth, K, off,
+                        truncation=T, zmin=0.5, zmax=3.5, num_iterations=50,
+                        conv_threshold_sq=0.0, damping=1.0)
+    jax.block_until_ready(res50.pose)
+    t1 = time.perf_counter()
+    REPS = 5
+    for _ in range(REPS):
+        res50 = track_frame(vol, geom, depth, K, off,
+                            truncation=T, zmin=0.5, zmax=3.5, num_iterations=50,
+                            conv_threshold_sq=0.0, damping=1.0)
+    jax.block_until_ready(res50.pose)
+    iters_per_s = REPS * 50 / (time.perf_counter() - t1)
+
+    return dict(fps=fps, per_frame_s=dt / FRAMES_TPU, gn_iters=iters,
+                gn_iters_per_s=iters_per_s, backend=jax.default_backend())
+
+
+def main() -> int:
+    cpp = run_cpp_baseline()
+    log(f"[bench] C++ baseline: {cpp}")
+    tpu = run_tpu()
+    log(f"[bench] TPU: {tpu}")
+
+    result = {
+        "metric": "track_fuse_frames_per_s_128cube",
+        "value": round(tpu["fps"], 3),
+        "unit": "frames/s",
+        "vs_baseline": round(tpu["fps"] / cpp["fps"], 3),
+    }
+    details = {
+        **result,
+        "baseline_fps": cpp["fps"],
+        "baseline_gn_iters_per_s": cpp["gn_iters_per_s"],
+        "tpu_gn_iters_per_s": tpu["gn_iters_per_s"],
+        "gn_iters_speedup": tpu["gn_iters_per_s"] / cpp["gn_iters_per_s"],
+        "backend": tpu["backend"],
+        "scenario": f"{W}x{H} frames, {DIM}^3 grid, 50-iter GN budget",
+        "baseline_kind": "plain-C++ -O3 single-thread reimplementation of the "
+                         "reference hot loops (reference repo unbuildable: "
+                         "empty vendored submodules, no network)",
+    }
+    try:
+        with open("BENCH_details.json", "w") as fh:
+            json.dump(details, fh, indent=2)
+    except OSError:
+        pass
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

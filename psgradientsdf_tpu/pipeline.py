@@ -23,6 +23,7 @@ from psgradientsdf_tpu.core.grid import GridGeometry
 from psgradientsdf_tpu.core.volume import GradSdfVolume, fuse_frame, make_volume
 from psgradientsdf_tpu.io import ply, sdf_io, trajectory
 from psgradientsdf_tpu.io.loaders import ImageLoader, make_loader
+from psgradientsdf_tpu.io.prefetch import PrefetchLoader
 from psgradientsdf_tpu.ops import sharpness
 from psgradientsdf_tpu.ops.marching_cubes import extract_mesh_from_volume
 from psgradientsdf_tpu.ops.normals import FalsCache, build_fals_cache, compute_normals
@@ -78,9 +79,11 @@ class ReconstructionPipeline:
     """The full voxelPS pipeline (main_ps.cpp), TPU-first."""
 
     def __init__(self, cfg: PipelineConfig, loader: Optional[ImageLoader] = None,
-                 metrics: Optional[MetricsLogger] = None):
+                 metrics: Optional[MetricsLogger] = None, prefetch: bool = True):
         self.cfg = cfg
-        self.loader = loader or make_loader(cfg.tracking.datatype, cfg.tracking.input)
+        base = loader or make_loader(cfg.tracking.datatype, cfg.tracking.input)
+        # decode-ahead worker hides PNG decode behind device compute
+        self.loader = PrefetchLoader(base) if prefetch else base
         out = cfg.tracking.output
         if out:
             os.makedirs(out, exist_ok=True)

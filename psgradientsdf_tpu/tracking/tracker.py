@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 
 from psgradientsdf_tpu.core.grid import GridGeometry
-from psgradientsdf_tpu.core.volume import GradSdfVolume, sdf_query
+from psgradientsdf_tpu.core.volume import (
+    GradSdfVolume,
+    pack_tracking_payload,
+    sdf_query,
+    sdf_query_packed,
+)
 from psgradientsdf_tpu.utils import se3
 
 
@@ -104,15 +109,35 @@ def track_frame(
     ).reshape(-1, 3)
     valid_z = ((z > zmin) & (z < zmax)).reshape(-1)
 
+    # pack (dist, grad, weight) once: one row-gather per pixel per iteration
+    payload = pack_tracking_payload(vol)
+
+    def masked_gram(pose):
+        """(E, g, H, count) in ONE gather + ONE 8x8 Gram matmul on the MXU.
+
+        G rows = mask * [ghat(3), p x ghat(3), psi, 1]; S = G^T G packs
+        H = S[:6,:6], g = S[:6,6], E = S[6,6], count = S[7,7]."""
+        R = pose[:3, :3]
+        t = pose[:3, 3]
+        p_w = pts_cam @ R.T + t
+        psi, ghat, w, valid = sdf_query_packed(payload, geom, p_w, truncation)
+        mf = (valid_z & (w > 0.0) & valid).astype(psi.dtype)
+        G = jnp.concatenate(
+            [ghat, jnp.cross(p_w, ghat), psi[:, None], jnp.ones_like(psi)[:, None]],
+            axis=-1,
+        ) * mf[:, None]
+        S = G.T @ G
+        return S[6, 6], S[:6, 6], S[:6, :6], S[7, 7]
+
     def cond(carry):
         _, k, conv, fail, _, _ = carry
         return (k < num_iterations) & (~conv) & (~fail)
 
     def body(carry):
         pose, k, conv, fail, _, _ = carry
-        E, g, Hm, count = gn_terms(vol, geom, pts_cam, valid_z, pose, truncation)
-        fail_now = count == 0
-        E_mean = E / jnp.maximum(count.astype(E.dtype), 1.0)
+        E, g, Hm, count = masked_gram(pose)
+        fail_now = count < 0.5
+        E_mean = E / jnp.maximum(count, 1.0)
         # Gauss-Newton step via Cholesky (cpp:66); relative jitter guards
         # PD-ness on degenerate scenes (the reference's bare llt would
         # silently produce garbage there).
@@ -124,7 +149,7 @@ def track_frame(
         new_pose = jnp.where(
             conv_now | fail_now, pose, se3.se3_exp(-xi) @ pose
         )
-        return (new_pose, k + 1, conv_now, fail_now, E_mean, count)
+        return (new_pose, k + 1, conv_now, fail_now, E_mean, count.astype(jnp.int32))
 
     init = (
         init_pose,
