@@ -148,7 +148,7 @@ class ReconstructionPipeline:
             frame_counter = i - tr.first
 
             if i == tr.first:
-                base_pose = np.asarray(gt_poses[0], np.float32) if gt else np.eye(4, np.float32)
+                base_pose = np.asarray(gt_poses[0], np.float32) if gt else np.eye(4, dtype=np.float32)
                 centroid = compute_centroid(self.K, depth, base_pose)
                 self.geom = GridGeometry(
                     dims=cfg.tpu.grid_dim, voxel_size=tr.voxel_size,
