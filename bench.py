@@ -21,6 +21,7 @@ All diagnostics go to stderr; stdout carries exactly the one JSON line.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import subprocess
@@ -31,7 +32,7 @@ import numpy as np
 
 W, H = 640, 480
 DIM = 128
-FRAMES_TPU = 20
+FRAMES_TPU = 200
 FRAMES_CPP = 5
 OFFSET = np.array([0.004, -0.003, 0.005, 0.002, -0.002, 0.0015], dtype=np.float32)
 
@@ -142,35 +143,58 @@ def run_tpu() -> dict:
     jax.block_until_ready(vol.dist)
     log(f"[bench] warmup done; tracker iters={int(res.iterations)}")
 
-    # steady-state: per frame = track (from offset) + fuse at the result;
-    # dispatch the whole sequence, fence once (no artificial host syncs —
-    # the device dependency chain serializes the real work)
-    frame_ids = [jnp.int32(1 + (f % 60)) for f in range(FRAMES_TPU)]
-    t0 = time.perf_counter()
-    iters_dev = []
-    for f in range(FRAMES_TPU):
-        res = track_frame(vol, geom, depth, K, off, **track_kw)
+    # steady-state: chained async dispatch of ONE static-control-flow
+    # executable per frame (the production executor pattern —
+    # tracking/stream.py): fixed-trip masked GN solve seeded at
+    # offset @ previous pose (exactly the C++ baseline's inter-frame motion
+    # model), then fusion at the result.  No while/cond in the program and
+    # no host sync inside the loop, so the device works through the queue
+    # back-to-back; ONE fence at the end.
+    #
+    # NOTE the axon runtime memoizes executions with identical input
+    # buffers — the warmup chain uses a DIFFERENT offset so every timed
+    # execution is distinct from every warmed one.
+    @jax.jit
+    def step_frame(vol, pose, fid, off_m):
+        seed = off_m @ pose
+        res = track_frame(vol, geom, depth, K, seed, **track_kw)
         vol = fuse_frame(
-            vol, geom, color, depth, normals, nsq, K, res.pose,
-            frame_ids[f], **fuse_kw,
+            vol, geom, color, depth, normals, nsq, K, res.pose, fid, **fuse_kw
         )
-        iters_dev.append(res.iterations)
+        return vol, res.pose, res.iterations
+
+    def run_frames(vol, off_m):
+        pose = eye
+        its = []
+        for f in range(FRAMES_TPU):
+            vol, pose, it = step_frame(vol, pose, jnp.int32(1 + f % 60), off_m)
+            its.append(it)
+        return vol, its
+
+    off_warm = jnp.asarray(off_np @ off_np)       # distinct warmup inputs
+    volw, _ = run_frames(vol, off_warm)           # compile + warm the chain
+    jax.block_until_ready(volw.dist)
+    t0 = time.perf_counter()
+    vol, its = run_frames(vol, off)
     jax.block_until_ready(vol.dist)
     dt = time.perf_counter() - t0
     fps = FRAMES_TPU / dt
-    iters = int(np.sum([int(i) for i in iters_dev]))
+    iters = int(np.sum([int(i) for i in its]))
 
-    # fixed-budget GN iteration rate (no early exit) for iters/s
-    res50 = track_frame(vol, geom, depth, K, off,
-                        truncation=T, zmin=0.5, zmax=3.5, num_iterations=50,
-                        conv_threshold_sq=0.0, damping=1.0)
+    # fixed-budget GN iteration rate (no early exit) for iters/s; every rep
+    # gets a distinct seed pose (execution memoization — see above)
+    def track50(seed):
+        return track_frame(vol, geom, depth, K, seed,
+                           truncation=T, zmin=0.5, zmax=3.5, num_iterations=50,
+                           conv_threshold_sq=0.0, damping=1.0)
+
+    res50 = track50(off_warm)
     jax.block_until_ready(res50.pose)
+    REPS = 10
+    seeds = [jnp.asarray(np.linalg.matrix_power(off_np, k + 1)) for k in range(REPS)]
     t1 = time.perf_counter()
-    REPS = 5
-    for _ in range(REPS):
-        res50 = track_frame(vol, geom, depth, K, off,
-                            truncation=T, zmin=0.5, zmax=3.5, num_iterations=50,
-                            conv_threshold_sq=0.0, damping=1.0)
+    for k in range(REPS):
+        res50 = track50(seeds[k])
     jax.block_until_ready(res50.pose)
     iters_per_s = REPS * 50 / (time.perf_counter() - t1)
 

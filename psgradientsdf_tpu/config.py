@@ -82,6 +82,7 @@ class TpuConfig:
     mesh_z: int = 1               # voxel-grid Z-slab sharding axis size
     mesh_frames: int = 1          # keyframe sharding axis size
     track_stride: int = 1         # pixel sub-sampling in tracking
+    chunk_size: int = 8           # frames per on-device scan dispatch
     dtype: str = "float32"
 
 
@@ -183,6 +184,8 @@ def parse_config(cfg: dict, save_copy: bool = True) -> PipelineConfig:
         tpu.mesh_frames = int(ms.get("frames", 1))
     if "track stride" in cfg:
         tpu.track_stride = int(cfg["track stride"])
+    if "chunk size" in cfg:
+        tpu.chunk_size = max(1, int(cfg["chunk size"]))
 
     pipe = PipelineConfig(tracking=trac, optimizer=opt, tpu=tpu)
 

@@ -71,13 +71,19 @@ def fuse_frame(
     K: jax.Array,          # [3,3]
     pose: jax.Array,       # [4,4] camera-to-world
     frame_idx: jax.Array,  # scalar int32 — visibility bit to set
+    gate: Optional[jax.Array] = None,  # scalar bool — False => no-op update
     *,
     truncation: float,
     zmin: float,
     zmax: float,
     cos_thresh_sq: float = 0.25 * 0.25,
 ) -> GradSdfVolume:
-    """One fused depth/color frame (VolumetricGradSdf.cpp:51-138)."""
+    """One fused depth/color frame (VolumetricGradSdf.cpp:51-138).
+
+    `gate` makes the whole update a masked no-op when False — the static-
+    control-flow alternative to wrapping the call in lax.cond (dynamic
+    conditionals cost a host round trip per execution on remote backends
+    and block cross-frame dispatch pipelining)."""
     H, W = depth.shape
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
@@ -123,6 +129,8 @@ def fuse_frame(
     angle_ok = ndot * ndot * nsq >= cos_thresh_sq
 
     mask = in_front & in_img & z_ok & (w > 0.0) & n_valid & angle_ok
+    if gate is not None:
+        mask = mask & gate
     wm = jnp.where(mask, w, 0.0)
 
     new_weight = vol.weight + wm

@@ -24,11 +24,10 @@ from psgradientsdf_tpu.core.volume import GradSdfVolume, fuse_frame, make_volume
 from psgradientsdf_tpu.io import ply, sdf_io, trajectory
 from psgradientsdf_tpu.io.loaders import ImageLoader, make_loader
 from psgradientsdf_tpu.io.prefetch import PrefetchLoader
-from psgradientsdf_tpu.ops import sharpness
 from psgradientsdf_tpu.ops.marching_cubes import extract_mesh_from_volume
 from psgradientsdf_tpu.ops.normals import FalsCache, build_fals_cache, compute_normals
 from psgradientsdf_tpu.refine.optimizer import PhotometricRefiner
-from psgradientsdf_tpu.tracking.tracker import track_frame
+from psgradientsdf_tpu.tracking.stream import process_chunk
 from psgradientsdf_tpu.utils.metrics import MetricsLogger
 from psgradientsdf_tpu.utils.timer import Timer
 
@@ -135,70 +134,105 @@ class ReconstructionPipeline:
         key_images: List[np.ndarray] = []
         key_poses: List[np.ndarray] = [np.eye(4, dtype=np.float32)]
         cur_pose = np.eye(4, dtype=np.float32)   # host copy; H2D only at kernel calls
-        dist_to_last_kf = 0
+        self._dist_to_last_kf = 0
         frames_done = 0
         t_scan = time.perf_counter()
 
-        i = tr.first
+        # ---- first frame: volume placement + initial fuse (main_ps.cpp:178-208)
+        first = self.loader.load_next()
+        if first is None:
+            raise RuntimeError("Frame could not be loaded")
+        color, depth = first
+        base_pose = np.asarray(gt_poses[0] if gt else np.eye(4), np.float32)
+        centroid = compute_centroid(self.K, depth, base_pose)
+        self.geom = GridGeometry(
+            dims=cfg.tpu.grid_dim, voxel_size=tr.voxel_size,
+            shift=tuple(float(v) for v in centroid),
+        )
+        self.timer.tic()
+        self.vol = make_volume(self.geom, truncation, cfg.tpu.frame_cap)
+        self.timer.toc("create_sdf", self.vol.dist)
+        cur_pose = base_pose
+        self._fuse(color, depth, jnp.asarray(base_pose), 0)
+        key_stamps.append(self.loader.rgb_timestamp)
+        key_images.append(color)
+        if gt:
+            key_poses[0] = base_pose
+        pose_lines.append(trajectory.pose_line(self.loader.depth_timestamp, cur_pose))
+        frames_done += 1
+
+        # ---- remaining frames: chunked on-device scan (tracking/stream.py)
+        C = max(1, cfg.tpu.chunk_size)
+        Kj = jnp.asarray(self.K)
+        buf: List[Tuple] = []   # (frame_idx, color, depth, rgb_ts, depth_ts, gt_pose)
+
+        def flush() -> None:
+            nonlocal cur_pose, frames_done
+            if not buf:
+                return
+            n = len(buf)
+            pad = C - n
+            self.timer.tic()
+            colors = np.stack([b[1] for b in buf] + [buf[-1][1]] * pad)
+            depths = np.stack([b[2] for b in buf] + [buf[-1][2]] * pad)
+            fids = np.array(
+                [min(b[0] - tr.first, cfg.tpu.frame_cap - 1) for b in buf]
+                + [0] * pad, np.int32)
+            valid = np.array([True] * n + [False] * pad)
+            if gt:
+                gtp = np.stack(
+                    [np.asarray(gt_poses[min(b[0], len(gt_poses) - 1)], np.float32)
+                     for b in buf] + [np.eye(4, dtype=np.float32)] * pad)
+            else:
+                gtp = np.broadcast_to(np.eye(4, dtype=np.float32), (C, 4, 4))
+            self.vol, res = process_chunk(
+                self.vol, self.geom, jnp.asarray(colors), jnp.asarray(depths),
+                Kj, jnp.asarray(cur_pose), jnp.asarray(fids), jnp.asarray(valid),
+                jnp.asarray(gtp), self.fals,
+                truncation=truncation, zmin=tr.zmin, zmax=tr.zmax,
+                num_iterations=tr.num_iterations,
+                conv_threshold_sq=tr.conv_threshold ** 2,
+                damping=tr.damping, stride=cfg.tpu.track_stride,
+                use_gt=gt,
+            )
+            poses = np.asarray(res.poses)
+            conv = np.asarray(res.converged)
+            fused = np.asarray(res.fused)
+            iters = np.asarray(res.iterations)
+            energies = np.asarray(res.energy)
+            nvalid = np.asarray(res.num_valid)
+            sharp = np.asarray(res.sharpness)
+            dt = self.timer.toc("chunk")
+            for j in range(n):
+                idx, col_j, _, rgb_ts, depth_ts, _ = buf[j]
+                cur_pose = poses[j]
+                if not gt:
+                    self.track_log.append(dict(
+                        frame=idx, converged=bool(conv[j]), iters=int(iters[j]),
+                        energy=float(energies[j]), valid=int(nvalid[j]),
+                        seconds=dt / n,
+                    ))
+                if fused[j]:
+                    self._keyframe_gate(
+                        col_j, idx - tr.first, cur_pose, float(sharp[j]), rgb_ts,
+                        key_indices, key_stamps, key_images, key_poses,
+                    )
+                pose_lines.append(trajectory.pose_line(depth_ts, cur_pose))
+                frames_done += 1
+            buf.clear()
+
+        i = tr.first + 1
         while i <= tr.last:
             nxt = self.loader.load_next()
             if nxt is None:
                 break
             color, depth = nxt
-            frame_counter = i - tr.first
-
-            if i == tr.first:
-                base_pose = np.asarray(gt_poses[0], np.float32) if gt else np.eye(4, dtype=np.float32)
-                centroid = compute_centroid(self.K, depth, base_pose)
-                self.geom = GridGeometry(
-                    dims=cfg.tpu.grid_dim, voxel_size=tr.voxel_size,
-                    shift=tuple(float(v) for v in centroid),
-                )
-                self.timer.tic()
-                self.vol = make_volume(self.geom, truncation, cfg.tpu.frame_cap)
-                self.timer.toc("create_sdf", self.vol.dist)
-                cur_pose = base_pose
-                self._fuse(color, depth, jnp.asarray(base_pose), frame_counter)
-                key_stamps.append(self.loader.rgb_timestamp)
-                key_images.append(color)
-                if gt:
-                    key_poses[0] = base_pose
-            elif gt:
-                pidx = min(i, len(gt_poses) - 1)
-                cur_pose = np.asarray(gt_poses[pidx], np.float32)
-                self._fuse(color, depth, jnp.asarray(cur_pose), frame_counter)
-                dist_to_last_kf = self._maybe_keyframe(
-                    color, frame_counter, cur_pose, dist_to_last_kf,
-                    key_indices, key_stamps, key_images, key_poses,
-                )
-            else:
-                self.timer.tic()
-                res = track_frame(
-                    self.vol, self.geom, jnp.asarray(depth), jnp.asarray(self.K),
-                    jnp.asarray(cur_pose), truncation=truncation, zmin=tr.zmin, zmax=tr.zmax,
-                    num_iterations=tr.num_iterations,
-                    conv_threshold_sq=tr.conv_threshold ** 2,
-                    damping=tr.damping, stride=cfg.tpu.track_stride,
-                )
-                dt = self.timer.toc("track", res.pose)
-                cur_pose = np.asarray(res.pose)
-                self.track_log.append(dict(
-                    frame=i, converged=bool(res.converged),
-                    iters=int(res.iterations), energy=float(res.energy),
-                    valid=int(res.num_valid), seconds=dt,
-                ))
-                if bool(res.converged):
-                    self._fuse(color, depth, jnp.asarray(cur_pose), frame_counter)
-                    dist_to_last_kf = self._maybe_keyframe(
-                        color, frame_counter, cur_pose, dist_to_last_kf,
-                        key_indices, key_stamps, key_images, key_poses,
-                    )
-
-            pose_lines.append(
-                trajectory.pose_line(self.loader.depth_timestamp, cur_pose)
-            )
-            frames_done += 1
+            buf.append((i, color, depth, self.loader.rgb_timestamp,
+                        self.loader.depth_timestamp, None))
+            if len(buf) == C:
+                flush()
             i += 1
+        flush()
 
         scan_secs = time.perf_counter() - t_scan
         self.metrics.log(
@@ -259,21 +293,20 @@ class ReconstructionPipeline:
         )
         self.timer.toc("fuse", self.vol.dist)
 
-    def _maybe_keyframe(
-        self, color, frame_counter, pose_np, dist_to_last_kf,
+    def _keyframe_gate(
+        self, color, frame_counter, pose_np, sharp: float, rgb_ts: str,
         key_indices, key_stamps, key_images, key_poses,
-    ) -> int:
-        """Sharpness-or-gap keyframe gate (main_ps.cpp:222-258)."""
-        if (
-            sharpness.is_sharp(jnp.asarray(color), self.cfg.tracking.sharpness_threshold)
-            or dist_to_last_kf > 5
-        ):
+    ) -> None:
+        """Sharpness-or-gap keyframe gate (main_ps.cpp:222-258); the LAPM
+        measure arrives precomputed from the chunk scan."""
+        if sharp >= self.cfg.tracking.sharpness_threshold or self._dist_to_last_kf > 5:
             key_indices.append(frame_counter)
-            key_stamps.append(self.loader.rgb_timestamp)
+            key_stamps.append(rgb_ts)
             key_images.append(color)
             key_poses.append(pose_np)
-            return 0
-        return dist_to_last_kf + 1
+            self._dist_to_last_kf = 0
+        else:
+            self._dist_to_last_kf += 1
 
     def _export_initial(self, out: str) -> None:
         self.timer.tic()

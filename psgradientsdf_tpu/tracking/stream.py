@@ -1,0 +1,175 @@
+"""Chunked frame-stream executor: pipelined async dispatch of track -> fuse.
+
+The reference processes frames one at a time from a host loop
+(cpp/voxel_ps/src/main_ps.cpp:162-277).  On TPU, host<->device round trips
+dwarf the per-frame compute (~1.5 ms for a full 50-iteration GN solve plus
+fusion at 640x480 / 128^3), so the executor's job is to keep the dispatch
+queue full and the device free of data-dependent control flow:
+
+  * ONE batched preprocessing dispatch per chunk computes FALS normals
+    (NormalEstimator.h:150-176) and the LAPM sharpness measure
+    (SharpDetector.h:22-37) for all C frames;
+  * C chained dispatches of ONE static-control-flow executable
+    (`_chunk_step`) run the fixed-trip masked GN tracking solve
+    (RigidPointOptimizer.cpp:27-76) seeded from the previous frame's pose
+    and a GATED fusion (VolumetricGradSdf.cpp:51-138) that is a masked
+    no-op unless tracking converged (main_ps.cpp:239-243) — or fuses at
+    the given GT pose in GT mode (main_ps.cpp:216-220);
+  * results come back in ONE device->host fence per chunk.
+
+Everything is jnp.where-masked rather than lax.cond/while_loop: dynamic
+control flow in a dispatched program costs a host round trip per execution
+on remote-tunnel backends and serializes the whole chain (measured 14 ms vs
+1.5 ms per frame on a TPU v5e behind the axon tunnel).  Ragged chunk tails
+are padded and masked via `valid` (padding frames leave the volume and pose
+untouched), so every chunk reuses the same compiled executables.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psgradientsdf_tpu.core.grid import GridGeometry
+from psgradientsdf_tpu.core.volume import GradSdfVolume, fuse_frame
+from psgradientsdf_tpu.ops.normals import FalsCache, compute_normals
+from psgradientsdf_tpu.ops.sharpness import modified_laplacian
+from psgradientsdf_tpu.tracking.tracker import track_frame
+
+
+class ChunkResult(NamedTuple):
+    poses: jax.Array       # [C,4,4] pose after each frame (tracked or GT)
+    converged: jax.Array   # [C] bool — tracking converged (True in GT mode)
+    fused: jax.Array       # [C] bool — frame was fused into the volume
+    iterations: jax.Array  # [C] int32 GN iterations to convergence (0 in GT mode)
+    energy: jax.Array      # [C] mean psi^2 at the last tracked iterate
+    num_valid: jax.Array   # [C] int32 pixels in the last GN solve
+    sharpness: jax.Array   # [C] LAPM focus measure of the color image
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def _preprocess(depths: jax.Array, colors: jax.Array, fals: FalsCache,
+                *, window: int):
+    normals = jax.vmap(lambda d: compute_normals(d, fals, window=window))(depths)
+    sharp = jax.vmap(modified_laplacian)(colors)
+    return normals, sharp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "geom", "truncation", "zmin", "zmax", "num_iterations", "stride",
+        "use_gt",
+    ),
+)
+def _chunk_step(
+    vol: GradSdfVolume,
+    pose: jax.Array,       # [4,4] carried pose estimate
+    color: jax.Array,      # [H,W,3]
+    depth: jax.Array,      # [H,W]
+    n_img: jax.Array,      # [H,W,3] FALS normals
+    n_sq_inv: jax.Array,   # [H,W]
+    K: jax.Array,          # [3,3]
+    fid: jax.Array,        # scalar int32 visibility bit
+    ok: jax.Array,         # scalar bool — False for padding frames
+    gtp: jax.Array,        # [4,4] GT pose (ignored unless use_gt)
+    *,
+    geom: GridGeometry,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+    num_iterations: int,
+    conv_threshold_sq: float,
+    damping: float,
+    stride: int,
+    use_gt: bool,
+):
+    """One frame: masked GN track + gated fuse, all static control flow."""
+    if use_gt:
+        new_pose = gtp
+        conv = ok
+        iters = jnp.int32(0)
+        energy = jnp.float32(0.0)
+        nvalid = jnp.int32(0)
+    else:
+        res = track_frame(
+            vol, geom, depth, K, pose,
+            truncation=truncation, zmin=zmin, zmax=zmax,
+            num_iterations=num_iterations,
+            conv_threshold_sq=conv_threshold_sq,
+            damping=damping, stride=stride,
+        )
+        new_pose = jnp.where(ok, res.pose, pose)
+        conv = res.converged & ok
+        iters, energy, nvalid = res.iterations, res.energy, res.num_valid
+
+    do_fuse = conv if not use_gt else ok
+    vol = fuse_frame(
+        vol, geom, color, depth, n_img, n_sq_inv, K, new_pose, fid, do_fuse,
+        truncation=truncation, zmin=zmin, zmax=zmax,
+    )
+    # non-converged tracking still advances the pose estimate
+    # (the reference's pose_ member retains the last GN iterate)
+    pose_out = jnp.where(ok, new_pose, pose)
+    return vol, pose_out, conv, do_fuse, iters, energy, nvalid
+
+
+def process_chunk(
+    vol: GradSdfVolume,
+    geom: GridGeometry,
+    colors: jax.Array,      # [C,H,W,3]
+    depths: jax.Array,      # [C,H,W]
+    K: jax.Array,           # [3,3]
+    init_pose: jax.Array,   # [4,4] tracking seed (pose after previous chunk)
+    frame_ids: jax.Array,   # [C] int32 visibility bit per frame
+    valid: jax.Array,       # [C] bool — False for ragged-tail padding
+    gt_poses: jax.Array,    # [C,4,4] (ignored unless use_gt)
+    fals: FalsCache,
+    *,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+    num_iterations: int = 50,
+    conv_threshold_sq: float = 1e-6,
+    damping: float = 1.0,
+    stride: int = 1,
+    window: int = 11,
+    use_gt: bool = False,
+) -> Tuple[GradSdfVolume, ChunkResult]:
+    """Track + fuse a chunk of frames with pipelined dispatch.
+
+    Host Python drives the chain, but nothing synchronizes until the caller
+    reads the results: every dispatched program is while/cond-free, so the
+    device works through the queue back-to-back.
+    """
+    C = int(colors.shape[0])
+    colors = jnp.asarray(colors)
+    depths = jnp.asarray(depths)
+    normals, sharp = _preprocess(depths, colors, fals, window=window)
+
+    step = functools.partial(
+        _chunk_step,
+        geom=geom, truncation=truncation, zmin=zmin, zmax=zmax,
+        num_iterations=num_iterations, conv_threshold_sq=conv_threshold_sq,
+        damping=damping, stride=stride, use_gt=use_gt,
+    )
+    pose = init_pose
+    outs = []
+    for j in range(C):
+        vol, pose, conv, fused, iters, energy, nvalid = step(
+            vol, pose, colors[j], depths[j], normals[j], fals.n_sq_inv, K,
+            frame_ids[j], valid[j], gt_poses[j],
+        )
+        outs.append((pose, conv, fused, iters, energy, nvalid))
+
+    poses, conv, fused, iters, energy, nvalid = (
+        jnp.stack([o[k] for o in outs]) for k in range(6)
+    )
+    return vol, ChunkResult(
+        poses=poses, converged=conv, fused=fused, iterations=iters,
+        energy=energy, num_valid=nvalid, sharpness=sharp,
+    )

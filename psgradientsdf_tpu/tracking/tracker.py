@@ -129,15 +129,19 @@ def track_frame(
         S = G.T @ G
         return S[6, 6], S[:6, 6], S[:6, :6], S[7, 7]
 
-    def cond(carry):
-        _, k, conv, fail, _, _ = carry
-        return (k < num_iterations) & (~conv) & (~fail)
-
-    def body(carry):
-        pose, k, conv, fail, _, _ = carry
-        E, g, Hm, count = masked_gram(pose)
-        fail_now = count < 0.5
-        E_mean = E / jnp.maximum(count, 1.0)
+    # Fixed-trip masked GN loop.  The reference early-exits its 50-iteration
+    # loop when ||xi||^2 < eps (RigidPointOptimizer.cpp:68-71); here every
+    # iteration always executes and updates are MASKED once converged/failed.
+    # Same semantics (pose frozen at the first converged iterate, step not
+    # applied), but static control flow: XLA sees one straight dependency
+    # chain, which keeps dispatch fully pipelined (a data-dependent
+    # while_loop costs a host round trip per execution on remote backends
+    # and blocks cross-frame pipelining).
+    def body(k, carry):
+        pose, conv, fail, E_mean, count, iters = carry
+        active = (~conv) & (~fail)
+        E, g, Hm, cnt = masked_gram(pose)
+        fail_now = cnt < 0.5
         # Gauss-Newton step via Cholesky (cpp:66); relative jitter guards
         # PD-ness on degenerate scenes (the reference's bare llt would
         # silently produce garbage there).
@@ -146,24 +150,32 @@ def track_frame(
         xi = damping * jax.scipy.linalg.cho_solve(chol, g)
         conv_now = jnp.sum(xi * xi) < conv_threshold_sq
         # converged -> keep pose (reference returns before applying the step)
-        new_pose = jnp.where(
-            conv_now | fail_now, pose, se3.se3_exp(-xi) @ pose
+        step_ok = active & ~(conv_now | fail_now)
+        new_pose = jnp.where(step_ok, se3.se3_exp(-xi) @ pose, pose)
+        return (
+            new_pose,
+            jnp.where(active, conv_now, conv),
+            jnp.where(active, fail_now, fail),
+            jnp.where(active, E / jnp.maximum(cnt, 1.0), E_mean),
+            jnp.where(active, cnt.astype(jnp.int32), count),
+            iters + active.astype(jnp.int32),
         )
-        return (new_pose, k + 1, conv_now, fail_now, E_mean, count.astype(jnp.int32))
 
     init = (
         init_pose,
-        jnp.int32(0),
         jnp.bool_(False),
         jnp.bool_(False),
         jnp.float32(0.0),
         jnp.int32(0),
+        jnp.int32(0),
     )
-    pose, k, conv, fail, E_mean, count = jax.lax.while_loop(cond, body, init)
+    pose, conv, fail, E_mean, count, iters = jax.lax.fori_loop(
+        0, num_iterations, body, init, unroll=True
+    )
     return TrackResult(
         pose=pose,
         converged=conv & (~fail),
-        iterations=k,
+        iterations=iters,
         energy=E_mean,
         num_valid=count,
     )
