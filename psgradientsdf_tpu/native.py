@@ -1,0 +1,142 @@
+"""ctypes bridge to the native C++ export runtime (native/mc.cpp).
+
+The reference builds its export path as a static C++ library (mc_lib —
+cpp/CMakeLists.txt:48-53); here the equivalent is a small shared library
+compiled on first use with g++ -O3 and loaded via ctypes.  The triangle
+LUT is shipped from Python (ops/mc_tables.py) so the native and numpy
+marching-cubes paths produce identical topology.
+
+Set PSGSDF_NO_NATIVE=1 to force the pure-numpy fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native", "mc.cpp")
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    if not os.path.exists(_SRC):
+        return None
+    build_dir = os.path.join(os.path.dirname(_SRC), "build")
+    so_path = os.path.join(build_dir, "libpsgsdf_native.so")
+    try:
+        if (not os.path.exists(so_path)
+                or os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
+            os.makedirs(build_dir, exist_ok=True)
+            # build to a temp name then rename (atomic for parallel pytest)
+            fd, tmp = tempfile.mkstemp(suffix=".so", dir=build_dir)
+            os.close(fd)
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                 "-o", tmp, _SRC],
+                check=True, capture_output=True, timeout=120,
+            )
+            os.replace(tmp, so_path)
+        lib = ctypes.CDLL(so_path)
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+    lib.mc_extract.restype = ctypes.c_int
+    lib.mc_extract.argtypes = [
+        ctypes.POINTER(ctypes.c_float),   # phi
+        ctypes.POINTER(ctypes.c_float),   # weight (nullable)
+        ctypes.POINTER(ctypes.c_float),   # color (nullable)
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int8),    # tri_table
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.mc_free.restype = None
+    lib.mc_free.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The native library, built lazily; None if unavailable/disabled."""
+    global _LIB, _TRIED
+    if os.environ.get("PSGSDF_NO_NATIVE"):
+        return None
+    with _LOCK:
+        if not _TRIED:
+            _TRIED = True
+            _LIB = _build_and_load()
+    return _LIB
+
+
+def marching_cubes_native(
+    phi: np.ndarray,
+    voxel_size: float,
+    origin: Tuple[float, float, float],
+    level: float,
+    tri_table: np.ndarray,                 # [256,16] int8/int32
+    weight: Optional[np.ndarray] = None,
+    color: Optional[np.ndarray] = None,
+):
+    """Run the native MC core. Returns (verts, faces, colors|None) or None
+    if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    phi = np.ascontiguousarray(phi, dtype=np.float32)
+    Z, Y, X = phi.shape
+    table = np.ascontiguousarray(tri_table, dtype=np.int8).reshape(-1)
+
+    def fptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    w_arr = (np.ascontiguousarray(weight, dtype=np.float32)
+             if weight is not None else None)
+    c_arr = (np.ascontiguousarray(color, dtype=np.float32)
+             if color is not None else None)
+
+    out_v = ctypes.POINTER(ctypes.c_float)()
+    out_f = ctypes.POINTER(ctypes.c_int32)()
+    out_c = ctypes.POINTER(ctypes.c_float)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.mc_extract(
+        fptr(phi),
+        fptr(w_arr) if w_arr is not None else None,
+        fptr(c_arr) if c_arr is not None else None,
+        Z, Y, X, ctypes.c_float(level),
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_float(voxel_size),
+        ctypes.c_float(origin[0]), ctypes.c_float(origin[1]),
+        ctypes.c_float(origin[2]),
+        ctypes.byref(out_v), ctypes.byref(out_f), ctypes.byref(out_c),
+        ctypes.byref(nv), ctypes.byref(nf),
+    )
+    if rc != 0:
+        return None
+    try:
+        verts = (np.ctypeslib.as_array(out_v, shape=(nv.value, 3)).copy()
+                 if nv.value else np.zeros((0, 3), np.float32))
+        faces = (np.ctypeslib.as_array(out_f, shape=(nf.value, 3)).copy()
+                 if nf.value else np.zeros((0, 3), np.int32))
+        colors = None
+        if c_arr is not None and nv.value and out_c:
+            colors = np.ctypeslib.as_array(out_c, shape=(nv.value, 3)).copy()
+    finally:
+        for p in (out_v, out_f, out_c):
+            if p:
+                lib.mc_free(ctypes.cast(p, ctypes.c_void_p))
+    return verts, faces, colors

@@ -38,7 +38,19 @@ def marching_cubes(
     level: float = 0.0,
     weight: Optional[np.ndarray] = None,  # [Z,Y,X]; cube needs all 8 corners > 0
     color: Optional[np.ndarray] = None,   # [Z,Y,X,3] in [0,1]
+    use_native: bool = True,
 ) -> Mesh:
+    # native C++ core (native/mc.cpp — the mc_lib equivalent) when available
+    if use_native:
+        from psgradientsdf_tpu.native import marching_cubes_native
+
+        out = marching_cubes_native(
+            np.asarray(phi), voxel_size, origin, level, TRI_TABLE,
+            weight=weight, color=color,
+        )
+        if out is not None:
+            return Mesh(vertices=out[0], faces=out[1], colors=out[2])
+
     phi = np.asarray(phi, dtype=np.float64)
     Z, Y, X = phi.shape
     if X < 2 or Y < 2 or Z < 2:

@@ -17,12 +17,13 @@ queue full and the device free of data-dependent control flow:
     the given GT pose in GT mode (main_ps.cpp:216-220);
   * results come back in ONE device->host fence per chunk.
 
-Everything is jnp.where-masked rather than lax.cond/while_loop: dynamic
-control flow in a dispatched program costs a host round trip per execution
-on remote-tunnel backends and serializes the whole chain (measured 14 ms vs
-1.5 ms per frame on a TPU v5e behind the axon tunnel).  Ragged chunk tails
-are padded and masked via `valid` (padding frames leave the volume and pose
-untouched), so every chunk reuses the same compiled executables.
+Fusion gating is jnp.where-masked rather than lax.cond (both branches of a
+cond would be cheap here anyway, and masking keeps one static program);
+the GN solve keeps the reference's early exit (each GN iteration has
+~1.3 ms device latency on TPU, so skipping unneeded iterations is the
+dominant optimization).  Ragged chunk tails are padded and masked via
+`valid` (padding frames leave the volume and pose untouched), so every
+chunk reuses the same compiled executables.
 """
 
 from __future__ import annotations

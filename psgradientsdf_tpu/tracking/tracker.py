@@ -74,7 +74,10 @@ def gn_terms(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("geom", "truncation", "zmin", "zmax", "num_iterations", "stride"),
+    static_argnames=(
+        "geom", "truncation", "zmin", "zmax", "num_iterations", "stride",
+        "early_exit",
+    ),
 )
 def track_frame(
     vol: GradSdfVolume,
@@ -90,8 +93,17 @@ def track_frame(
     conv_threshold_sq: float = 1e-6,
     damping: float = 1.0,
     stride: int = 1,
+    early_exit: bool = True,
 ) -> TrackResult:
-    """Full GN tracking solve for one frame (optimize_sampled, cpp:12-79)."""
+    """Full GN tracking solve for one frame (optimize_sampled, cpp:12-79).
+
+    `early_exit=True` (default) uses a lax.while_loop with the reference's
+    ||xi||^2 < eps exit (RigidPointOptimizer.cpp:68-71) — each GN iteration
+    has ~1.3 ms device latency on TPU, so skipping unneeded iterations
+    dominates every other consideration.  `early_exit=False` runs a
+    fixed-trip unrolled loop with masked updates (identical results) for
+    contexts that need static control flow (e.g. shard_map collectives
+    must execute the same collective sequence on every device)."""
     if stride > 1:
         # pixel sub-sampling (optimize_sampled's `sampling` knob); the
         # original pixel coordinates are reconstructed via `* stride` below.
@@ -129,14 +141,9 @@ def track_frame(
         S = G.T @ G
         return S[6, 6], S[:6, 6], S[:6, :6], S[7, 7]
 
-    # Fixed-trip masked GN loop.  The reference early-exits its 50-iteration
-    # loop when ||xi||^2 < eps (RigidPointOptimizer.cpp:68-71); here every
-    # iteration always executes and updates are MASKED once converged/failed.
-    # Same semantics (pose frozen at the first converged iterate, step not
-    # applied), but static control flow: XLA sees one straight dependency
-    # chain, which keeps dispatch fully pipelined (a data-dependent
-    # while_loop costs a host round trip per execution on remote backends
-    # and blocks cross-frame pipelining).
+    # GN loop body shared by both control-flow variants: updates are MASKED
+    # once converged/failed (pose frozen at the first converged iterate,
+    # step not applied — matching the reference's return-before-update).
     def body(k, carry):
         pose, conv, fail, E_mean, count, iters = carry
         active = (~conv) & (~fail)
@@ -169,9 +176,16 @@ def track_frame(
         jnp.int32(0),
         jnp.int32(0),
     )
-    pose, conv, fail, E_mean, count, iters = jax.lax.fori_loop(
-        0, num_iterations, body, init, unroll=True
-    )
+    if early_exit:
+        pose, conv, fail, E_mean, count, iters = jax.lax.while_loop(
+            lambda c: (c[5] < num_iterations) & (~c[1]) & (~c[2]),
+            lambda c: body(c[5], c),
+            init,
+        )
+    else:
+        pose, conv, fail, E_mean, count, iters = jax.lax.fori_loop(
+            0, num_iterations, body, init, unroll=True
+        )
     return TrackResult(
         pose=pose,
         converged=conv & (~fail),
