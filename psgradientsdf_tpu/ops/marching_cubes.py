@@ -39,9 +39,17 @@ def marching_cubes(
     weight: Optional[np.ndarray] = None,  # [Z,Y,X]; cube needs all 8 corners > 0
     color: Optional[np.ndarray] = None,   # [Z,Y,X,3] in [0,1]
     use_native: bool = True,
+    grad: Optional[np.ndarray] = None,    # [Z,Y,X,3] Gradient-SDF gradients
 ) -> Mesh:
+    """With `grad` given, vertices are placed directly from the Gradient-SDF
+    (GradMarchingCubes::getVertex single-corner overload,
+    cpp/third/mesh/GradMarchingCubes.cpp:707-714): each edge's vertex sits at
+    p_lo + phi_lo * ghat_lo — the surface point the low corner's gradient
+    points to — instead of edge interpolation.  Colors come from the low
+    corner.  (The reference ships this variant but its call-site is
+    commented out, OptimizerAux.cpp:346-347; we expose it as an option.)"""
     # native C++ core (native/mc.cpp — the mc_lib equivalent) when available
-    if use_native:
+    if use_native and grad is None:
         from psgradientsdf_tpu.native import marching_cubes_native
 
         out = marching_cubes_native(
@@ -118,7 +126,17 @@ def marching_cubes(
     t = np.clip((level - va) / denom, 0.0, 1.0)
     pa_f = pa[first_idx].astype(np.float64)
     pb_f = pb[first_idx].astype(np.float64)
-    verts_idx = pa_f + t[:, None] * (pb_f - pa_f)  # in voxel units (x,y,z)
+    if grad is not None:
+        # Gradient-SDF vertex placement: p_lo + phi_lo * ghat_lo
+        lo_i = lo[first_idx]                       # (x,y,z) integer corner
+        g = np.asarray(grad, np.float64)[lo_i[:, 2], lo_i[:, 1], lo_i[:, 0]]
+        g /= np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+        phi_lo = phi[lo_i[:, 2], lo_i[:, 1], lo_i[:, 0]]
+        verts_idx = lo_i.astype(np.float64) + (phi_lo[:, None] / voxel_size) * g
+        t = np.zeros_like(t)                       # colors from the low corner
+        pa_f = pb_f = lo_i.astype(np.float64)
+    else:
+        verts_idx = pa_f + t[:, None] * (pb_f - pa_f)  # in voxel units (x,y,z)
     verts = (np.asarray(origin)[None, :] + voxel_size * verts_idx).astype(np.float32)
 
     colors_out = None
@@ -139,6 +157,7 @@ def extract_mesh_from_volume(
     voxel_size: float,
     geom_origin: Tuple[float, float, float],
     band: Optional[float] = None,
+    grad: Optional[np.ndarray] = None,   # enable Gradient-MC vertex placement
 ) -> Mesh:
     """Crop to the surface band bbox then run MC — mirrors
     Optimizer::extract_mesh (OptimizerAux.cpp:278-363): bbox over
@@ -172,4 +191,5 @@ def extract_mesh_from_volume(
         level=0.0,
         weight=np.asarray(weight)[sl],
         color=None if color is None else np.asarray(color)[sl],
+        grad=None if grad is None else np.asarray(grad)[sl],
     )

@@ -122,3 +122,28 @@ def test_extract_mesh_from_volume_colors():
     assert len(mesh.vertices) > 0
     assert mesh.colors is not None
     np.testing.assert_allclose(mesh.colors[:, 0], 0.9, atol=1e-6)
+
+
+def test_gradient_mc_vertex_placement():
+    """Gradient-MC variant: vertices at p_lo + phi_lo * ghat_lo
+    (GradMarchingCubes.cpp:707-714) — on an exact-SDF sphere all vertices
+    must land on the sphere surface."""
+    import numpy as np
+    from psgradientsdf_tpu.ops.marching_cubes import marching_cubes
+
+    n = 24
+    h = 0.04
+    ax = (np.arange(n) - n / 2 + 0.5) * h
+    z, y, x = np.meshgrid(ax, ax, ax, indexing="ij")
+    r = 0.3
+    d = np.sqrt(x * x + y * y + z * z) - r        # negative inside
+    phi = (-d).astype(np.float32)                 # positive inside (MC field)
+    g = np.stack([x, y, z], -1)
+    g /= np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+
+    origin = (float(ax[0] / 1), float(ax[0]), float(ax[0]))
+    m = marching_cubes(phi, h, origin, grad=g.astype(np.float32))
+    assert len(m.vertices) > 100
+    radii = np.linalg.norm(m.vertices, axis=-1)
+    # every vertex lies on the sphere to first order
+    assert np.abs(radii - r).max() < 1e-3
