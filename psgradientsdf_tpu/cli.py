@@ -27,6 +27,11 @@ def main(argv=None) -> int:
                     help="write the run summary to this JSON file")
     ap.add_argument("--platform", default="", choices=["", "cpu", "tpu", "gpu", "axon"],
                     help="force a jax platform (e.g. cpu) before any device use")
+    ap.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                    help="save a resumable scan checkpoint every N frames")
+    ap.add_argument("--resume", default="",
+                    help="resume the scan from a checkpoint written by "
+                         "--checkpoint-every (path to scan_checkpoint.npz)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -35,7 +40,8 @@ def main(argv=None) -> int:
 
     print(f"load the config file from: {args.config_file}")
     cfg = load_config(args.config_file)
-    pipe = ReconstructionPipeline(cfg)
+    pipe = ReconstructionPipeline(cfg, checkpoint_every=args.checkpoint_every,
+                                  resume=args.resume)
     summary = pipe.run(refine=not args.no_refine)
     summary_small = {k: v for k, v in summary.items() if k != "track_log"}
     print(json.dumps(summary_small, default=float))

@@ -78,8 +78,11 @@ class ReconstructionPipeline:
     """The full voxelPS pipeline (main_ps.cpp), TPU-first."""
 
     def __init__(self, cfg: PipelineConfig, loader: Optional[ImageLoader] = None,
-                 metrics: Optional[MetricsLogger] = None, prefetch: bool = True):
+                 metrics: Optional[MetricsLogger] = None, prefetch: bool = True,
+                 checkpoint_every: int = 0, resume: str = ""):
         self.cfg = cfg
+        self.checkpoint_every = checkpoint_every
+        self.resume = resume
         base = loader or make_loader(cfg.tracking.datatype, cfg.tracking.input)
         # decode-ahead worker hides PNG decode behind device compute
         self.loader = PrefetchLoader(base) if prefetch else base
@@ -96,6 +99,8 @@ class ReconstructionPipeline:
         self.fals: Optional[FalsCache] = None
         self.K: Optional[np.ndarray] = None
         self.track_log: List[Dict] = []
+        self._dist_to_last_kf = 0
+        self._last_ckpt_frames = 0
 
     # ------------------------------------------------------------ stages
 
@@ -138,28 +143,50 @@ class ReconstructionPipeline:
         frames_done = 0
         t_scan = time.perf_counter()
 
-        # ---- first frame: volume placement + initial fuse (main_ps.cpp:178-208)
-        first = self.loader.load_next()
-        if first is None:
-            raise RuntimeError("Frame could not be loaded")
-        color, depth = first
-        base_pose = np.asarray(gt_poses[0] if gt else np.eye(4), np.float32)
-        centroid = compute_centroid(self.K, depth, base_pose)
-        self.geom = GridGeometry(
-            dims=cfg.tpu.grid_dim, voxel_size=tr.voxel_size,
-            shift=tuple(float(v) for v in centroid),
-        )
-        self.timer.tic()
-        self.vol = make_volume(self.geom, truncation, cfg.tpu.frame_cap)
-        self.timer.toc("create_sdf", self.vol.dist)
-        cur_pose = base_pose
-        self._fuse(color, depth, jnp.asarray(base_pose), 0)
-        key_stamps.append(self.loader.rgb_timestamp)
-        key_images.append(color)
-        if gt:
-            key_poses[0] = base_pose
-        pose_lines.append(trajectory.pose_line(self.loader.depth_timestamp, cur_pose))
-        frames_done += 1
+        start = tr.first + 1
+        if self.resume and os.path.exists(self.resume):
+            # exact scan resume (no reference counterpart — SURVEY §5.4)
+            from psgradientsdf_tpu.io import checkpoint as ckpt
+
+            self.vol, self.geom, state, key_images_r = ckpt.load_scan_state(
+                self.resume)
+            cur_pose = np.asarray(state.cur_pose, np.float32)
+            pose_lines = list(state.pose_lines)
+            key_indices = list(state.key_indices)
+            key_stamps = list(state.key_stamps)
+            key_poses = [np.asarray(p, np.float32) for p in state.key_poses]
+            key_images = list(key_images_r)
+            self._dist_to_last_kf = state.dist_to_last_kf
+            start = state.next_frame
+            for _ in range(start - tr.first):
+                self.loader.load_next()
+            frames_done = len(pose_lines)
+            self.metrics.log("resume", path=self.resume, next_frame=start)
+        else:
+            # ---- first frame: volume placement + initial fuse
+            # (main_ps.cpp:178-208)
+            first = self.loader.load_next()
+            if first is None:
+                raise RuntimeError("Frame could not be loaded")
+            color, depth = first
+            base_pose = np.asarray(gt_poses[0] if gt else np.eye(4), np.float32)
+            centroid = compute_centroid(self.K, depth, base_pose)
+            self.geom = GridGeometry(
+                dims=cfg.tpu.grid_dim, voxel_size=tr.voxel_size,
+                shift=tuple(float(v) for v in centroid),
+            )
+            self.timer.tic()
+            self.vol = make_volume(self.geom, truncation, cfg.tpu.frame_cap)
+            self.timer.toc("create_sdf", self.vol.dist)
+            cur_pose = base_pose
+            self._fuse(color, depth, jnp.asarray(base_pose), 0)
+            key_stamps.append(self.loader.rgb_timestamp)
+            key_images.append(color)
+            if gt:
+                key_poses[0] = base_pose
+            pose_lines.append(
+                trajectory.pose_line(self.loader.depth_timestamp, cur_pose))
+            frames_done += 1
 
         # ---- remaining frames: chunked on-device scan (tracking/stream.py)
         C = max(1, cfg.tpu.chunk_size)
@@ -219,9 +246,30 @@ class ReconstructionPipeline:
                     )
                 pose_lines.append(trajectory.pose_line(depth_ts, cur_pose))
                 frames_done += 1
+            next_frame = buf[-1][0] + 1
             buf.clear()
+            if (self.checkpoint_every > 0 and tr.output
+                    and frames_done - self._last_ckpt_frames >= self.checkpoint_every):
+                from psgradientsdf_tpu.io import checkpoint as ckpt
 
-        i = tr.first + 1
+                self.timer.tic()
+                ckpt.save_scan_state(
+                    os.path.join(tr.output, "scan_checkpoint.npz"),
+                    self.vol, self.geom,
+                    ckpt.ScanState(
+                        next_frame=next_frame, cur_pose=cur_pose,
+                        pose_lines=pose_lines, key_indices=key_indices,
+                        key_stamps=key_stamps, key_poses=key_poses,
+                        dist_to_last_kf=self._dist_to_last_kf,
+                    ),
+                    key_images,
+                )
+                self._last_ckpt_frames = frames_done
+                self.metrics.log("checkpoint", frame=next_frame - 1,
+                                 seconds=self.timer.toc("checkpoint"))
+
+        self._last_ckpt_frames = frames_done
+        i = start
         while i <= tr.last:
             nxt = self.loader.load_next()
             if nxt is None:
