@@ -73,3 +73,19 @@ def write_pointcloud_ply(
         return True
     except OSError:
         return False
+
+
+def read_ply_header(path: str):
+    """Parse a PLY header -> (n_vertices, n_faces). Works for the ASCII
+    meshes written by write_mesh_ply (MarchingCubes.cpp:659-697 format)."""
+    nv = nf = 0
+    with open(path, "rb") as fh:
+        for raw in fh:
+            line = raw.decode("latin1").strip()
+            if line.startswith("element vertex"):
+                nv = int(line.split()[-1])
+            elif line.startswith("element face"):
+                nf = int(line.split()[-1])
+            elif line == "end_header":
+                break
+    return nv, nf

@@ -23,13 +23,20 @@ import numpy as np
 
 
 def _box_filter(img: jax.Array, window: int) -> jax.Array:
-    """Unnormalized window-sum box filter with reflect-101 borders."""
+    """Unnormalized window-sum box filter with reflect-101 borders.
+
+    Two 1-D lax.conv passes (separable); conv_general_dilated maps cleanly
+    onto the TPU conv path, unlike vmap(jnp.convolve) which degenerates at
+    megapixel sizes."""
     r = window // 2
     x = jnp.pad(img, ((r, r), (r, r)), mode="reflect")
-    # separable: sum along rows then cols via conv
     kernel = jnp.ones((window,), dtype=img.dtype)
-    x = jax.vmap(lambda row: jnp.convolve(row, kernel, mode="valid"))(x)
-    x = jax.vmap(lambda col: jnp.convolve(col, kernel, mode="valid"), in_axes=1, out_axes=1)(x)
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], kernel[None, None, None, :], (1, 1), "VALID",
+    )[0, 0]
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], kernel[None, None, :, None], (1, 1), "VALID",
+    )[0, 0]
     return x
 
 

@@ -24,11 +24,18 @@ _LAP3 = jnp.array([-1.0, 2.0, -1.0], dtype=jnp.float32)
 
 def _sep_filter(img: jax.Array, kx: jax.Array, ky: jax.Array) -> jax.Array:
     """Separable filter: kx along columns (x), ky along rows (y), reflect-101
-    borders (cv::sepFilter2D defaults)."""
+    borders (cv::sepFilter2D defaults).  Implemented as two 1-D
+    lax.conv_general_dilated passes (vmap(jnp.convolve) compiles/executes
+    pathologically on TPU at megapixel sizes)."""
     r = 1
     x = jnp.pad(img, ((r, r), (r, r)), mode="reflect")
-    x = jax.vmap(lambda row: jnp.convolve(row, kx[::-1], mode="valid"))(x)
-    x = jax.vmap(lambda col: jnp.convolve(col, ky[::-1], mode="valid"), in_axes=1, out_axes=1)(x)
+    # rows: correlate along the last axis with kx
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], kx[None, None, None, :], (1, 1), "VALID",
+    )[0, 0]
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], ky[None, None, :, None], (1, 1), "VALID",
+    )[0, 0]
     return x
 
 

@@ -230,6 +230,8 @@ class ReconstructionPipeline:
             nvalid = np.asarray(res.num_valid)
             sharp = np.asarray(res.sharpness)
             dt = self.timer.toc("chunk")
+            self.metrics.log("chunk", frames=n, seconds=dt,
+                             fps=n / max(dt, 1e-9))
             for j in range(n):
                 idx, col_j, _, rgb_ts, depth_ts, _ = buf[j]
                 cur_pose = poses[j]
