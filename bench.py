@@ -208,6 +208,16 @@ def main() -> int:
     tpu = run_tpu()
     log(f"[bench] TPU: {tpu}")
 
+    # refinement distance-block benchmark (details only; headline stays the
+    # per-frame tracking+fusion rate)
+    refine = {}
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench"))
+        import refine_bench
+        refine = refine_bench.run(log)
+    except Exception as e:  # keep the headline metric robust
+        log(f"[bench] refine bench failed: {type(e).__name__}: {e}")
+
     result = {
         "metric": "track_fuse_frames_per_s_128cube",
         "value": round(tpu["fps"], 3),
@@ -225,6 +235,7 @@ def main() -> int:
         "baseline_kind": "plain-C++ -O3 single-thread reimplementation of the "
                          "reference hot loops (reference repo unbuildable: "
                          "empty vendored submodules, no network)",
+        **refine,
     }
     try:
         with open("BENCH_details.json", "w") as fh:

@@ -25,19 +25,19 @@ import numpy as np
 def _box_filter(img: jax.Array, window: int) -> jax.Array:
     """Unnormalized window-sum box filter with reflect-101 borders.
 
-    Two 1-D lax.conv passes (separable); conv_general_dilated maps cleanly
-    onto the TPU conv path, unlike vmap(jnp.convolve) which degenerates at
-    megapixel sizes."""
+    Separable shifted-slice sums: single-channel conv_general_dilated picks a
+    catastrophic TPU layout under a vmapped megapixel batch (128x padding
+    expansion -> HBM OOM), while slices stay in the natural layout and fuse."""
     r = window // 2
     x = jnp.pad(img, ((r, r), (r, r)), mode="reflect")
-    kernel = jnp.ones((window,), dtype=img.dtype)
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :], kernel[None, None, None, :], (1, 1), "VALID",
-    )[0, 0]
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :], kernel[None, None, :, None], (1, 1), "VALID",
-    )[0, 0]
-    return x
+    H, W = img.shape[-2], img.shape[-1]
+    acc = x[:, 0:W]
+    for j in range(1, window):
+        acc = acc + x[:, j:W + j]
+    out = acc[0:H, :]
+    for i in range(1, window):
+        out = out + acc[i:H + i, :]
+    return out
 
 
 class FalsCache(NamedTuple):

@@ -23,19 +23,17 @@ _LAP3 = jnp.array([-1.0, 2.0, -1.0], dtype=jnp.float32)
 
 
 def _sep_filter(img: jax.Array, kx: jax.Array, ky: jax.Array) -> jax.Array:
-    """Separable filter: kx along columns (x), ky along rows (y), reflect-101
-    borders (cv::sepFilter2D defaults).  Implemented as two 1-D
-    lax.conv_general_dilated passes (vmap(jnp.convolve) compiles/executes
-    pathologically on TPU at megapixel sizes)."""
+    """Separable 3-tap filter: kx along columns (x), ky along rows (y),
+    reflect-101 borders (cv::sepFilter2D defaults).  Implemented as explicit
+    shifted-slice arithmetic: single-channel conv_general_dilated picks a
+    catastrophic TPU layout under a vmapped megapixel batch (128x padding
+    expansion -> HBM OOM), while slices stay in the natural layout and fuse."""
     r = 1
     x = jnp.pad(img, ((r, r), (r, r)), mode="reflect")
-    # rows: correlate along the last axis with kx
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :], kx[None, None, None, :], (1, 1), "VALID",
-    )[0, 0]
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :], ky[None, None, :, None], (1, 1), "VALID",
-    )[0, 0]
+    W = img.shape[-1]
+    H = img.shape[-2]
+    x = kx[0] * x[:, 0:W] + kx[1] * x[:, 1:W + 1] + kx[2] * x[:, 2:W + 2]
+    x = ky[0] * x[0:H, :] + ky[1] * x[1:H + 1, :] + ky[2] * x[2:H + 2, :]
     return x
 
 

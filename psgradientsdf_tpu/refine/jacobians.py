@@ -33,20 +33,20 @@ from psgradientsdf_tpu.refine import geometry
 from psgradientsdf_tpu.refine.problem import RefineProblem
 from psgradientsdf_tpu.refine.render import (
     ResidualData,
-    sample_image_gradients,
     surface_points_world,
 )
 from psgradientsdf_tpu.utils import se3, sh
 
 
 def image_pi_grad(
-    images: jax.Array,   # [F,H,W,3]
-    rd: ResidualData,
+    images: jax.Array,   # [F,H,W,3] (unused — gradients ride the residual
+    rd: ResidualData,    #  fetch; kept for call-site stability)
     K: jax.Array,
 ) -> jax.Array:
     """dI/dx_cam [N,F,3,3]: image gradient composed with projection gradient
     (PsOptimizerJa.cpp:78-90)."""
-    g_img = sample_image_gradients(images, rd.uv)     # [N,F,3,2] (du, dv)
+    del images
+    g_img = rd.g_img                                  # [N,F,3,2] (du, dv)
     fx, fy = K[0, 0], K[1, 1]
     z = rd.p_cam[..., 2]
     z_inv = 1.0 / jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from psgradientsdf_tpu.core.grid import GridGeometry
 from psgradientsdf_tpu.ops.image import bilinear_rgb, image_gradient_rgb
 from psgradientsdf_tpu.refine import geometry
+from psgradientsdf_tpu.refine.patches import sample_patch_all
 from psgradientsdf_tpu.refine.problem import RefineProblem
 from psgradientsdf_tpu.utils import robust, sh
 
@@ -37,6 +38,9 @@ class ResidualData(NamedTuple):
     mask: jax.Array       # [N,F] bool contribution mask
     p_cam: jax.Array      # [N,F,3] camera-frame surface points
     uv: jax.Array         # [N,F,2] float pixel coords (col, row)
+    g_img: jax.Array      # [N,F,3,2] image gradients (d/du, d/dv) at uv —
+                          # computed alongside I by the fused patch fetch
+                          # so the Jacobian blocks need no second gather
 
 
 def surface_points_world(prob: RefineProblem, geom: GridGeometry, dist: jax.Array,
@@ -141,7 +145,9 @@ def compute_residuals(
     F, H, W = images.shape[0], images.shape[1], images.shape[2]
     pts_w = surface_points_world(prob, geom, dist, grad_stored)
     p_cam, uv, in_img = project_to_frames(pts_w, poses, K, (H, W))
-    I = sample_intensity(images, uv)
+    # fused 3x3-patch fetch: intensity + image gradients in 3 gathers/pair
+    # instead of ~16 (identical values — see refine/patches.py)
+    I, g_img = sample_patch_all(images, uv)
 
     if model == "LED":
         rendered = rendered_intensity_led(
@@ -153,7 +159,7 @@ def compute_residuals(
     mask = prob.vis & in_img & prob.valid[:, None]
     r = jnp.where(mask[..., None], I - rendered, 0.0)
     w = jnp.where(mask[..., None], robust.irls_weight(r, loss, lam), 0.0)
-    return ResidualData(r=r, w=w, mask=mask, p_cam=p_cam, uv=uv)
+    return ResidualData(r=r, w=w, mask=mask, p_cam=p_cam, uv=uv, g_img=g_img)
 
 
 def ps_energy(

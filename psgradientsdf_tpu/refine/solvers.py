@@ -214,8 +214,15 @@ def solve_distance(
         # keep padded rows inert (identity) so CG is well-posed
         return jnp.where(prob.valid, out, x)
 
+    # Jacobi preconditioner — Eigen's ConjugateGradient default
+    # (DiagonalPreconditioner), which the reference therefore uses
+    d_total = (1.0 + damping) * diag
+    d_safe = jnp.where(prob.valid & (d_total > 0.0), d_total, 1.0)
+
     b = jnp.where(prob.valid, b, 0.0)
-    delta, _ = jax.scipy.sparse.linalg.cg(matvec, b, maxiter=cg_iters, tol=cg_tol)
+    delta, _ = jax.scipy.sparse.linalg.cg(
+        matvec, b, maxiter=cg_iters, tol=cg_tol, M=lambda x: x / d_safe
+    )
     return jnp.where(prob.valid, delta, 0.0)
 
 
@@ -297,8 +304,13 @@ def solve_albedo(
         out = out + damping * diag * x
         return jnp.where(prob.valid[:, None], out, x)
 
+    d_total = (1.0 + damping) * diag                  # Jacobi preconditioner
+    d_safe = jnp.where(prob.valid[:, None] & (d_total > 0.0), d_total, 1.0)
+
     b = jnp.where(prob.valid[:, None], b, 0.0)
-    delta, _ = jax.scipy.sparse.linalg.cg(matvec, b, maxiter=cg_iters, tol=cg_tol)
+    delta, _ = jax.scipy.sparse.linalg.cg(
+        matvec, b, maxiter=cg_iters, tol=cg_tol, M=lambda x: x / d_safe
+    )
     return jnp.where(prob.valid[:, None], delta, 0.0)
 
 
