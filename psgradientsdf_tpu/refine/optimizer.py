@@ -168,6 +168,80 @@ def _pose_block(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
     return solvers.update_poses(poses, delta)
 
 
+# Fused block+energy steps: one device dispatch per block instead of two.
+# The reference evaluates the energies right after each block's update
+# (PsOptimizer.cpp:263-350); doing it inside the same executable halves the
+# number of host round trips per outer iteration — significant when the
+# device sits behind a high-latency tunnel.
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "geom", "model", "order", "loss", "lam", "voxel_size",
+        "reg_weight_rho", "damping",
+    ),
+)
+def _albedo_step(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+                 *, model, order, loss, lam, voxel_size, reg_weight_rho, damping):
+    kw = dict(model=model, order=order, loss=loss, lam=lam, voxel_size=voxel_size)
+    new_albedo = _albedo_block.__wrapped__(
+        prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+        **kw, reg_weight_rho=reg_weight_rho, damping=damping)
+    e = _energies.__wrapped__(
+        prob, geom, dist, new_albedo, grad_stored, poses, images, K, lights, **kw)
+    return new_albedo, e
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geom", "model", "order", "loss", "lam", "voxel_size", "damping"),
+)
+def _light_step(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+                *, model, order, loss, lam, voxel_size, damping):
+    kw = dict(model=model, order=order, loss=loss, lam=lam, voxel_size=voxel_size)
+    new_lights = _light_block.__wrapped__(
+        prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+        **kw, damping=damping)
+    e = _energies.__wrapped__(
+        prob, geom, dist, albedo, grad_stored, poses, images, K, new_lights, **kw)
+    return new_lights, e
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "geom", "model", "order", "loss", "lam", "voxel_size",
+        "reg_weight_n", "reg_weight_l", "damping", "laplacian_diag_only",
+    ),
+)
+def _dist_step(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+               *, model, order, loss, lam, voxel_size, reg_weight_n,
+               reg_weight_l, damping, laplacian_diag_only):
+    kw = dict(model=model, order=order, loss=loss, lam=lam, voxel_size=voxel_size)
+    new_dist, new_grad = _dist_block.__wrapped__(
+        prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+        **kw, reg_weight_n=reg_weight_n, reg_weight_l=reg_weight_l,
+        damping=damping, laplacian_diag_only=laplacian_diag_only)
+    e = _energies.__wrapped__(
+        prob, geom, new_dist, albedo, new_grad, poses, images, K, lights, **kw)
+    return new_dist, new_grad, e
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geom", "model", "order", "loss", "lam", "voxel_size", "damping"),
+)
+def _pose_step(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+               *, model, order, loss, lam, voxel_size, damping):
+    kw = dict(model=model, order=order, loss=loss, lam=lam, voxel_size=voxel_size)
+    new_poses = _pose_block.__wrapped__(
+        prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+        **kw, damping=damping)
+    e = _energies.__wrapped__(
+        prob, geom, dist, albedo, grad_stored, new_poses, images, K, lights, **kw)
+    return new_poses, e
+
+
 @functools.partial(jax.jit, static_argnames=("geom", "voxel_size"))
 def _init_albedo(prob, geom, dist, grad_stored, poses, images, K, voxel_size):
     """Mean observed intensity over visible keyframes (Optimizer.cpp:50-81)."""
@@ -335,28 +409,28 @@ class PhotometricRefiner:
         while it < cfg.max_it:
             if albedo:
                 T.tic()
-                self.albedo = _albedo_block(
+                self.albedo, e = _albedo_step(
                     *self._args(), **self._static_kwargs(),
                     reg_weight_rho=w_rho, damping=damping,
                 )
                 dt = T.toc("albedo", self.albedo)
-                E, _, _, E_r = self.energies()
+                E, _, _, E_r = (float(v) for v in e)
                 E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
                 self.metrics.log("block", iter=it, block="albedo", seconds=dt)
 
             if light:
                 T.tic()
-                self.lights = _light_block(
+                self.lights, e = _light_step(
                     *self._args(), **self._static_kwargs(), damping=damping,
                 )
                 dt = T.toc("light", self.lights)
-                E, _, _, _ = self.energies()
+                E, _, _, _ = (float(v) for v in e)
                 E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
                 self.metrics.log("block", iter=it, block="light", seconds=dt)
 
             if distance:
                 T.tic()
-                self.dist, self.grad_stored = _dist_block(
+                self.dist, self.grad_stored, e = _dist_step(
                     *self._args(), **self._static_kwargs(),
                     reg_weight_n=w_n if normal_reg else 0.0,
                     reg_weight_l=w_l if laplacian_reg else 0.0,
@@ -364,17 +438,17 @@ class PhotometricRefiner:
                     laplacian_diag_only=self.laplacian_diag_only,
                 )
                 dt = T.toc("distance", self.dist)
-                E, E_n, E_l, _ = self.energies()
+                E, E_n, E_l, _ = (float(v) for v in e)
                 E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
                 self.metrics.log("block", iter=it, block="distance", seconds=dt)
 
             if pose:
                 T.tic()
-                self.poses = _pose_block(
+                self.poses, e = _pose_step(
                     *self._args(), **self._static_kwargs(), damping=damping,
                 )
                 dt = T.toc("pose", self.poses)
-                E, _, _, _ = self.energies()
+                E, _, _, _ = (float(v) for v in e)
                 E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
                 self.metrics.log("block", iter=it, block="pose", seconds=dt)
 
