@@ -43,6 +43,26 @@ def _imread_color(path: str) -> Optional[np.ndarray]:
     return img[..., ::-1].astype(np.float32) / 255.0
 
 
+def _imread_depth_raw(path: str) -> Optional[np.ndarray]:
+    """Depth in its stored integer encoding (u16 PNG) — for wire-efficient
+    host->device transfer with on-device metric conversion."""
+    if cv2 is None:
+        raise RuntimeError("cv2 is required for image loading")
+    return cv2.imread(path, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_ANYCOLOR)
+
+
+def _imread_color_raw(path: str) -> Optional[np.ndarray]:
+    """RGB uint8 (BGR swapped, not normalized) — 4x smaller on the wire."""
+    if cv2 is None:
+        raise RuntimeError("cv2 is required for image loading")
+    img = cv2.imread(path)
+    if img is None:
+        return None
+    if img.ndim == 2:
+        img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+    return np.ascontiguousarray(img[..., ::-1])
+
+
 def quat_xyzw_to_rot(q: np.ndarray) -> np.ndarray:
     x, y, z, w = q
     n = np.sqrt(x * x + y * y + z * z + w * w)
@@ -114,6 +134,19 @@ class ImageLoader:
     def load_next(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         raise NotImplementedError
 
+    def frame_paths(
+        self, idx: int
+    ) -> Optional[Tuple[str, str, str, str]]:
+        """(rgb_path, depth_path, ts_rgb, ts_depth) for 0-based frame idx,
+        or None past the end.  Stateless — enables parallel decode-ahead
+        (io/prefetch.py).  Loaders without an indexable layout return None."""
+        return None
+
+    def skip(self, n: int) -> None:
+        """Advance past n frames without decoding them."""
+        for _ in range(n):
+            self.load_next()
+
     def reset(self) -> None:
         raise NotImplementedError
 
@@ -148,6 +181,16 @@ class TumrgbdLoader(ImageLoader):
             return None
         return color, depth
 
+    def frame_paths(self, idx: int):
+        if idx >= len(self._lines):
+            return None
+        ts_rgb, rgb_file, ts_depth, depth_file = self._lines[idx].split()[:4]
+        return (os.path.join(self.path, rgb_file),
+                os.path.join(self.path, depth_file), ts_rgb, ts_depth)
+
+    def skip(self, n: int):
+        self._pos = min(self._pos + n, len(self._lines))
+
     def reset(self):
         self._pos = 0
 
@@ -170,6 +213,17 @@ class SynthLoader(ImageLoader):
             return None
         self.counter += 1
         return color, depth
+
+    def frame_paths(self, idx: int):
+        stamp = f"{idx + 1:03d}"
+        rp = os.path.join(self.path, "rgb", stamp + ".png")
+        dp = os.path.join(self.path, "depth", stamp + ".png")
+        if not (os.path.isfile(rp) and os.path.isfile(dp)):
+            return None
+        return rp, dp, stamp, stamp
+
+    def skip(self, n: int):
+        self.counter += n
 
     def load_keyframe(self, frame: int):
         """Load by index (SynthLoader.h:77-97; note it reads the *albedo*
@@ -214,6 +268,17 @@ class MultiviewLoader(ImageLoader):
             return None
         self.counter += 1
         return color, depth
+
+    def frame_paths(self, idx: int):
+        stamp = f"{idx + 1:06d}"
+        rp = os.path.join(self.path, "color" + stamp + ".png")
+        dp = os.path.join(self.path, "depth" + stamp + ".png")
+        if not (os.path.isfile(rp) and os.path.isfile(dp)):
+            return None
+        return rp, dp, stamp, stamp
+
+    def skip(self, n: int):
+        self.counter += n
 
     def reset(self):
         self.counter = 1

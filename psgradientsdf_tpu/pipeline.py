@@ -84,8 +84,11 @@ class ReconstructionPipeline:
         self.checkpoint_every = checkpoint_every
         self.resume = resume
         base = loader or make_loader(cfg.tracking.datatype, cfg.tracking.input)
-        # decode-ahead worker hides PNG decode behind device compute
-        self.loader = PrefetchLoader(base) if prefetch else base
+        # decode-ahead workers hide PNG decode behind device compute; raw mode
+        # ships uint8/uint16 over the wire (3.7x less host->device transfer,
+        # the scan bottleneck on tunneled devices) and converts on device
+        self.loader = PrefetchLoader(base, raw=True) if prefetch else base
+        self._depth_unit = base.unit if getattr(self.loader, "raw", False) else 1.0
         out = cfg.tracking.output
         if out:
             os.makedirs(out, exist_ok=True)
@@ -128,9 +131,8 @@ class ReconstructionPipeline:
         self.metrics.log("start", gt_poses=gt, frames=f"{tr.first}..{tr.last}",
                          image=f"{H}x{W}")
 
-        # skip to first frame
-        for _ in range(tr.first):
-            self.loader.load_next()
+        # skip to first frame (no decode — loaders skip by index)
+        self.loader.skip(tr.first)
 
         truncation = cfg.truncation
         pose_lines: List[str] = []
@@ -158,8 +160,7 @@ class ReconstructionPipeline:
             key_images = list(key_images_r)
             self._dist_to_last_kf = state.dist_to_last_kf
             start = state.next_frame
-            for _ in range(start - tr.first):
-                self.loader.load_next()
+            self.loader.skip(start - tr.first)
             frames_done = len(pose_lines)
             self.metrics.log("resume", path=self.resume, next_frame=start)
         else:
@@ -168,7 +169,7 @@ class ReconstructionPipeline:
             first = self.loader.load_next()
             if first is None:
                 raise RuntimeError("Frame could not be loaded")
-            color, depth = first
+            color, depth = self._to_metric_host(*first)
             base_pose = np.asarray(gt_poses[0] if gt else np.eye(4), np.float32)
             centroid = compute_centroid(self.K, depth, base_pose)
             self.geom = GridGeometry(
@@ -220,7 +221,7 @@ class ReconstructionPipeline:
                 num_iterations=tr.num_iterations,
                 conv_threshold_sq=tr.conv_threshold ** 2,
                 damping=tr.damping, stride=cfg.tpu.track_stride,
-                use_gt=gt,
+                use_gt=gt, depth_unit=self._depth_unit,
             )
             poses = np.asarray(res.poses)
             conv = np.asarray(res.converged)
@@ -328,6 +329,14 @@ class ReconstructionPipeline:
         return summary
 
     # ------------------------------------------------------------ helpers
+
+    def _to_metric_host(self, color: np.ndarray, depth: np.ndarray):
+        """Host-side raw->metric conversion (mirrors the float loaders)."""
+        if color.dtype == np.uint8:
+            color = color.astype(np.float32) / 255.0
+        if not np.issubdtype(depth.dtype, np.floating):
+            depth = depth.astype(np.float32) * self._depth_unit
+        return color, depth
 
     def _fuse(self, color: np.ndarray, depth: np.ndarray, pose: jax.Array,
               frame_counter: int) -> None:

@@ -303,7 +303,11 @@ class PhotometricRefiner:
         keyframe_indices: Sequence[int],
         timestamps: Sequence[str] = (),
     ) -> None:
-        self.images = jnp.asarray(images, dtype=jnp.float32)
+        images = np.asarray(images)
+        if images.dtype == np.uint8:    # raw-wire keyframes: convert on device
+            self.images = jnp.asarray(images).astype(jnp.float32) / 255.0
+        else:
+            self.images = jnp.asarray(images, dtype=jnp.float32)
         self.poses = jnp.asarray(poses, dtype=jnp.float32)
         self.keyframe_indices = list(keyframe_indices)
         self.timestamps = list(timestamps) or [str(i) for i in keyframe_indices]

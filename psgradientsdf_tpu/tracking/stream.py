@@ -52,9 +52,21 @@ class ChunkResult(NamedTuple):
     sharpness: jax.Array   # [C] LAPM focus measure of the color image
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
+def _to_metric(depths: jax.Array, colors: jax.Array, depth_unit: float):
+    """On-device raw->metric conversion: uint8 RGB -> [0,1] f32, integer
+    depth -> meters.  Float inputs pass through untouched (depth_unit must
+    be 1.0 then).  Identical arithmetic to the host loaders' conversions."""
+    if colors.dtype == jnp.uint8:
+        colors = colors.astype(jnp.float32) / 255.0
+    if not jnp.issubdtype(depths.dtype, jnp.floating):
+        depths = depths.astype(jnp.float32) * np.float32(depth_unit)
+    return depths, colors
+
+
+@functools.partial(jax.jit, static_argnames=("window", "depth_unit"))
 def _preprocess(depths: jax.Array, colors: jax.Array, fals: FalsCache,
-                *, window: int):
+                *, window: int, depth_unit: float = 1.0):
+    depths, colors = _to_metric(depths, colors, depth_unit)
     normals = jax.vmap(lambda d: compute_normals(d, fals, window=window))(depths)
     sharp = jax.vmap(modified_laplacian)(colors)
     return normals, sharp
@@ -64,7 +76,7 @@ def _preprocess(depths: jax.Array, colors: jax.Array, fals: FalsCache,
     jax.jit,
     static_argnames=(
         "geom", "truncation", "zmin", "zmax", "num_iterations", "stride",
-        "use_gt",
+        "use_gt", "depth_unit",
     ),
 )
 def _chunk_step(
@@ -88,8 +100,10 @@ def _chunk_step(
     damping: float,
     stride: int,
     use_gt: bool,
+    depth_unit: float = 1.0,
 ):
     """One frame: masked GN track + gated fuse, all static control flow."""
+    depth, color = _to_metric(depth, color, depth_unit)
     if use_gt:
         new_pose = gtp
         conv = ok
@@ -140,6 +154,7 @@ def process_chunk(
     stride: int = 1,
     window: int = 11,
     use_gt: bool = False,
+    depth_unit: float = 1.0,
 ) -> Tuple[GradSdfVolume, ChunkResult]:
     """Track + fuse a chunk of frames with pipelined dispatch.
 
@@ -148,15 +163,16 @@ def process_chunk(
     device works through the queue back-to-back.
     """
     C = int(colors.shape[0])
-    colors = jnp.asarray(colors)
-    depths = jnp.asarray(depths)
-    normals, sharp = _preprocess(depths, colors, fals, window=window)
+    colors = jnp.asarray(colors)    # may be uint8 (raw wire format)
+    depths = jnp.asarray(depths)    # may be uint16
+    normals, sharp = _preprocess(depths, colors, fals, window=window,
+                                 depth_unit=depth_unit)
 
     step = functools.partial(
         _chunk_step,
         geom=geom, truncation=truncation, zmin=zmin, zmax=zmax,
         num_iterations=num_iterations, conv_threshold_sq=conv_threshold_sq,
-        damping=damping, stride=stride, use_gt=use_gt,
+        damping=damping, stride=stride, use_gt=use_gt, depth_unit=depth_unit,
     )
     pose = init_pose
     outs = []
