@@ -15,6 +15,7 @@
 // Corner/edge numbering matches mc_tables.py (Lorensen/Bourke).
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
@@ -157,5 +158,76 @@ int mc_extract(
 }
 
 void mc_free(void* p) { std::free(p); }
+
+// ---------------------------------------------------------------- PLY export
+// ASCII PLY writers with the exact formats of the reference
+// (MarchingCubes.cpp:659-697 mesh; VolumetricGradSdf.cpp:350-373 point
+// cloud).  C printf "%g" matches Python's ":g" formatting, so the native
+// and Python writers produce byte-identical bodies.
+
+// Returns 0 on success.  colors nullable ([nv*3] uint8).
+int ply_write_mesh(const char* path,
+                   const float* verts, int64_t nv,
+                   const int32_t* faces, int64_t nf,
+                   const uint8_t* colors) {
+  FILE* fh = std::fopen(path, "w");
+  if (!fh) return 1;
+  std::vector<char> buf(1 << 22);   // per-call: writers may run concurrently
+  std::setvbuf(fh, buf.data(), _IOFBF, buf.size());
+  std::fprintf(fh, "ply\nformat ascii 1.0\n");
+  std::fprintf(fh, "element vertex %lld\n", (long long)nv);
+  std::fprintf(fh, "property float x\nproperty float y\nproperty float z\n");
+  if (colors)
+    std::fprintf(fh,
+                 "property uchar red\nproperty uchar green\nproperty uchar blue\n");
+  std::fprintf(fh, "element face %lld\n", (long long)nf);
+  std::fprintf(fh, "property list uchar int vertex_indices\n");
+  std::fprintf(fh, "end_header\n");
+  for (int64_t i = 0; i < nv; ++i) {
+    const float* v = verts + 3 * i;
+    if (colors) {
+      const uint8_t* c = colors + 3 * i;
+      std::fprintf(fh, "%g %g %g %d %d %d\n", v[0], v[1], v[2],
+                   (int)c[0], (int)c[1], (int)c[2]);
+    } else {
+      std::fprintf(fh, "%g %g %g\n", v[0], v[1], v[2]);
+    }
+  }
+  for (int64_t i = 0; i < nf; ++i) {
+    const int32_t* f = faces + 3 * i;
+    std::fprintf(fh, "3 %d %d %d\n", f[0], f[1], f[2]);
+  }
+  const int rc = std::ferror(fh);
+  std::fclose(fh);
+  return rc ? 1 : 0;
+}
+
+// Oriented point cloud: x y z nx ny nz r g b per line.
+int ply_write_pointcloud(const char* path,
+                         const float* pts, const float* normals,
+                         const uint8_t* colors, int64_t n) {
+  FILE* fh = std::fopen(path, "w");
+  if (!fh) return 1;
+  std::vector<char> buf(1 << 22);   // per-call: writers may run concurrently
+  std::setvbuf(fh, buf.data(), _IOFBF, buf.size());
+  std::fprintf(fh, "ply\nformat ascii 1.0\n");
+  std::fprintf(fh, "element vertex %lld\n", (long long)n);
+  std::fprintf(fh, "property float x\nproperty float y\nproperty float z\n");
+  std::fprintf(fh, "property float nx\nproperty float ny\nproperty float nz\n");
+  std::fprintf(fh,
+               "property uchar red\nproperty uchar green\nproperty uchar blue\n");
+  std::fprintf(fh, "end_header\n");
+  for (int64_t i = 0; i < n; ++i) {
+    const float* p = pts + 3 * i;
+    const float* m = normals + 3 * i;
+    const uint8_t* c = colors + 3 * i;
+    std::fprintf(fh, "%g %g %g %g %g %g %d %d %d\n",
+                 p[0], p[1], p[2], m[0], m[1], m[2],
+                 (int)c[0], (int)c[1], (int)c[2]);
+  }
+  const int rc = std::ferror(fh);
+  std::fclose(fh);
+  return rc ? 1 : 0;
+}
 
 }  // extern "C"

@@ -25,6 +25,12 @@ def write_mesh_ply(
         colors = np.asarray(colors)
         if colors.dtype != np.uint8:
             colors = np.clip(colors * 255.0, 0, 255).astype(np.uint8)
+    # native C++ writer (same byte format); Python loop as fallback
+    from psgradientsdf_tpu.native import ply_write_mesh_native
+
+    ok = ply_write_mesh_native(path, vertices, faces, colors if has_color else None)
+    if ok is not None:
+        return ok
     try:
         with open(path, "w") as fh:
             fh.write("ply\nformat ascii 1.0\n")
@@ -57,6 +63,12 @@ def write_pointcloud_ply(
     points = np.asarray(points)
     normals = np.asarray(normals)
     colors = np.clip(np.asarray(colors) * 255.0, 0, 255).astype(np.int32)
+    from psgradientsdf_tpu.native import ply_write_pointcloud_native
+
+    ok = ply_write_pointcloud_native(
+        path, points, normals, colors.astype(np.uint8))
+    if ok is not None:
+        return ok
     try:
         with open(path, "w") as fh:
             fh.write("ply\nformat ascii 1.0\n")

@@ -67,6 +67,19 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     ]
     lib.mc_free.restype = None
     lib.mc_free.argtypes = [ctypes.c_void_p]
+    lib.ply_write_mesh.restype = ctypes.c_int
+    lib.ply_write_mesh.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.ply_write_pointcloud.restype = ctypes.c_int
+    lib.ply_write_pointcloud.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
     return lib
 
 
@@ -140,3 +153,44 @@ def marching_cubes_native(
             if p:
                 lib.mc_free(ctypes.cast(p, ctypes.c_void_p))
     return verts, faces, colors
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _f32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def ply_write_mesh_native(path: str, vertices: np.ndarray, faces: np.ndarray,
+                          colors_u8: Optional[np.ndarray]) -> Optional[bool]:
+    """Native ASCII mesh-PLY writer; None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(vertices, dtype=np.float32)
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    c = (np.ascontiguousarray(colors_u8, dtype=np.uint8)
+         if colors_u8 is not None else None)
+    rc = lib.ply_write_mesh(
+        path.encode(), _f32ptr(v), len(v),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(f),
+        _u8ptr(c) if c is not None else None,
+    )
+    return rc == 0
+
+
+def ply_write_pointcloud_native(path: str, points: np.ndarray,
+                                normals: np.ndarray,
+                                colors_u8: np.ndarray) -> Optional[bool]:
+    """Native ASCII point-cloud-PLY writer; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(points, dtype=np.float32)
+    n = np.ascontiguousarray(normals, dtype=np.float32)
+    c = np.ascontiguousarray(colors_u8, dtype=np.uint8)
+    rc = lib.ply_write_pointcloud(path.encode(), _f32ptr(p), _f32ptr(n),
+                                  _u8ptr(c), len(p))
+    return rc == 0

@@ -76,3 +76,43 @@ def test_default_path_uses_native():
     m = marching_cubes(phi, 0.1, (0, 0, 0))
     assert isinstance(m, Mesh)
     assert len(m.faces) > 0
+
+
+def test_native_ply_writers_match_python(tmp_path):
+    """Native C++ PLY writers must produce byte-identical files to the
+    Python fallback (same %g formatting)."""
+    import os
+    import numpy as np
+    from psgradientsdf_tpu.io import ply
+    from psgradientsdf_tpu.native import get_lib
+
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(3)
+    verts = (rng.standard_normal((257, 3)) * 1.75).astype(np.float32)
+    faces = rng.integers(0, 257, (133, 3)).astype(np.int32)
+    cols = rng.random((257, 3)).astype(np.float32)
+
+    pn = tmp_path / "native_mesh.ply"
+    pp = tmp_path / "python_mesh.ply"
+    assert ply.write_mesh_ply(str(pn), verts, faces, cols)
+    os.environ["PSGSDF_NO_NATIVE"] = "1"
+    try:
+        assert ply.write_mesh_ply(str(pp), verts, faces, cols)
+    finally:
+        del os.environ["PSGSDF_NO_NATIVE"]
+    assert pn.read_bytes() == pp.read_bytes()
+
+    pts = (rng.standard_normal((191, 3))).astype(np.float32)
+    nrm = (rng.standard_normal((191, 3))).astype(np.float32)
+    qn = tmp_path / "native_pc.ply"
+    qp = tmp_path / "python_pc.ply"
+    assert ply.write_pointcloud_ply(str(qn), pts, nrm, cols[:191])
+    os.environ["PSGSDF_NO_NATIVE"] = "1"
+    try:
+        assert ply.write_pointcloud_ply(str(qp), pts, nrm, cols[:191])
+    finally:
+        del os.environ["PSGSDF_NO_NATIVE"]
+    assert qn.read_bytes() == qp.read_bytes()

@@ -129,3 +129,48 @@ def test_chunk_gt_mode():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(res.poses), np.stack(gt_list), atol=1e-7)
     assert np.asarray(res.fused).all()
+
+
+def test_chunk_raw_wire_matches_float():
+    """uint8/uint16 raw-wire chunks must produce the same volume and poses
+    as pre-converted float frames."""
+    import numpy as np
+    import jax.numpy as jnp
+    from psgradientsdf_tpu.core.grid import GridGeometry
+    from psgradientsdf_tpu.core.volume import make_volume
+    from psgradientsdf_tpu.ops.normals import build_fals_cache
+    from psgradientsdf_tpu.tracking.stream import process_chunk
+
+    rng = np.random.default_rng(11)
+    H, W, C = 32, 40, 3
+    unit = 1.0 / 5000.0
+    depth_u16 = rng.integers(3000, 12000, (C, H, W)).astype(np.uint16)
+    color_u8 = rng.integers(0, 256, (C, H, W, 3)).astype(np.uint8)
+    depth_f = depth_u16.astype(np.float32) * unit
+    color_f = color_u8.astype(np.float32) / 255.0
+
+    K = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32)
+    fals = build_fals_cache(H, W, K, window=11)
+    geom = GridGeometry(dims=(16, 16, 16), voxel_size=0.1, shift=(0, 0, 1.5))
+    vol = make_volume(geom, 0.5, frame_cap=32)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    gtp = jnp.asarray(np.broadcast_to(np.eye(4, dtype=np.float32), (C, 4, 4)))
+    args = dict(K=jnp.asarray(K), init_pose=eye,
+                frame_ids=jnp.arange(C, dtype=jnp.int32),
+                valid=jnp.ones(C, bool), gt_poses=gtp, fals=fals)
+    kw = dict(truncation=0.5, zmin=0.1, zmax=5.0, num_iterations=3,
+              conv_threshold_sq=1e-12, damping=1.0, use_gt=True)
+
+    v_raw, r_raw = process_chunk(vol, geom, jnp.asarray(color_u8),
+                                 jnp.asarray(depth_u16), depth_unit=unit,
+                                 **args, **kw)
+    v_f, r_f = process_chunk(vol, geom, jnp.asarray(color_f),
+                             jnp.asarray(depth_f), depth_unit=1.0,
+                             **args, **kw)
+    np.testing.assert_allclose(np.asarray(v_raw.dist), np.asarray(v_f.dist),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_raw.color), np.asarray(v_f.color),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(v_raw.vis), np.asarray(v_f.vis))
+    np.testing.assert_allclose(np.asarray(r_raw.poses), np.asarray(r_f.poses),
+                               rtol=0, atol=0)
