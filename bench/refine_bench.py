@@ -123,16 +123,18 @@ def _tpu(log) -> dict:
         return f
 
     f1, f5 = make(1), make(5)
-    o = f1(prob.dist, prob.grad_stored)
-    jax.block_until_ready(o[0])
-    o = f5(prob.dist, prob.grad_stored)
-    jax.block_until_ready(o[0])
+    # warm (distinct inputs from every timed call: the axon runtime memoizes
+    # same-input executions, and block_until_ready is NOT a real completion
+    # fence on this stack — only a D2H fetch is)
+    _ = float(jnp.sum(f1(prob.dist + 1e-3, prob.grad_stored)[0]))
+    _ = float(jnp.sum(f5(prob.dist + 2e-3, prob.grad_stored)[0]))
 
     def t(f):
         best = 1e9
-        for _ in range(3):
+        for r in range(3):
+            d0 = prob.dist + 1e-6 * (r + 1)
             t0 = time.perf_counter()
-            jax.block_until_ready(f(prob.dist, prob.grad_stored)[0])
+            _ = float(jnp.sum(f(d0, prob.grad_stored)[0]))  # real fence
             best = min(best, time.perf_counter() - t0)
         return best
 

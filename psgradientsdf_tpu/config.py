@@ -82,6 +82,7 @@ class TpuConfig:
     mesh_z: int = 1               # voxel-grid Z-slab sharding axis size
     mesh_frames: int = 1          # keyframe sharding axis size
     track_stride: int = 1         # pixel sub-sampling in tracking
+    track_regather: int = 1       # GN iterations per correspondence gather
     chunk_size: int = 8           # frames per on-device scan dispatch
     dtype: str = "float32"
 
@@ -184,6 +185,8 @@ def parse_config(cfg: dict, save_copy: bool = True) -> PipelineConfig:
         tpu.mesh_frames = int(ms.get("frames", 1))
     if "track stride" in cfg:
         tpu.track_stride = int(cfg["track stride"])
+    if "track regather" in cfg:
+        tpu.track_regather = max(1, int(cfg["track regather"]))
     if "chunk size" in cfg:
         tpu.chunk_size = max(1, int(cfg["chunk size"]))
 

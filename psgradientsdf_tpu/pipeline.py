@@ -222,6 +222,7 @@ class ReconstructionPipeline:
                 conv_threshold_sq=tr.conv_threshold ** 2,
                 damping=tr.damping, stride=cfg.tpu.track_stride,
                 use_gt=gt, depth_unit=self._depth_unit,
+                regather_every=cfg.tpu.track_regather,
             )
             poses = np.asarray(res.poses)
             conv = np.asarray(res.converged)

@@ -76,7 +76,7 @@ def _preprocess(depths: jax.Array, colors: jax.Array, fals: FalsCache,
     jax.jit,
     static_argnames=(
         "geom", "truncation", "zmin", "zmax", "num_iterations", "stride",
-        "use_gt", "depth_unit",
+        "use_gt", "depth_unit", "regather_every",
     ),
 )
 def _chunk_step(
@@ -101,6 +101,7 @@ def _chunk_step(
     stride: int,
     use_gt: bool,
     depth_unit: float = 1.0,
+    regather_every: int = 1,
 ):
     """One frame: masked GN track + gated fuse, all static control flow."""
     depth, color = _to_metric(depth, color, depth_unit)
@@ -116,7 +117,7 @@ def _chunk_step(
             truncation=truncation, zmin=zmin, zmax=zmax,
             num_iterations=num_iterations,
             conv_threshold_sq=conv_threshold_sq,
-            damping=damping, stride=stride,
+            damping=damping, stride=stride, regather_every=regather_every,
         )
         new_pose = jnp.where(ok, res.pose, pose)
         conv = res.converged & ok
@@ -155,6 +156,7 @@ def process_chunk(
     window: int = 11,
     use_gt: bool = False,
     depth_unit: float = 1.0,
+    regather_every: int = 1,
 ) -> Tuple[GradSdfVolume, ChunkResult]:
     """Track + fuse a chunk of frames with pipelined dispatch.
 
@@ -173,6 +175,7 @@ def process_chunk(
         geom=geom, truncation=truncation, zmin=zmin, zmax=zmax,
         num_iterations=num_iterations, conv_threshold_sq=conv_threshold_sq,
         damping=damping, stride=stride, use_gt=use_gt, depth_unit=depth_unit,
+        regather_every=regather_every,
     )
     pose = init_pose
     outs = []

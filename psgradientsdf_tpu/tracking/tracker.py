@@ -76,7 +76,7 @@ def gn_terms(
     jax.jit,
     static_argnames=(
         "geom", "truncation", "zmin", "zmax", "num_iterations", "stride",
-        "early_exit",
+        "early_exit", "regather_every",
     ),
 )
 def track_frame(
@@ -94,6 +94,7 @@ def track_frame(
     damping: float = 1.0,
     stride: int = 1,
     early_exit: bool = True,
+    regather_every: int = 1,
 ) -> TrackResult:
     """Full GN tracking solve for one frame (optimize_sampled, cpp:12-79).
 
@@ -103,7 +104,20 @@ def track_frame(
     dominates every other consideration.  `early_exit=False` runs a
     fixed-trip unrolled loop with masked updates (identical results) for
     contexts that need static control flow (e.g. shard_map collectives
-    must execute the same collective sequence on every device)."""
+    must execute the same collective sequence on every device).
+
+    `regather_every=R` (frozen-correspondence GN): the per-pixel voxel
+    payload gather — the dominant per-iteration cost (~1.2 ms at 640x480,
+    ~85% of the iteration) — runs once per R iterations; the R-1
+    intermediate iterations re-linearize against the *frozen* nearest-voxel
+    records (d, ghat, c_v).  Because the reference's psi(p) = d +
+    ghat.(c_v - p) is itself piecewise-linear in p with pieces = nearest-
+    voxel cells (VolumetricGradSdf.h:76-87), a frozen iteration is EXACT
+    whenever no pixel's nearest voxel changes within the round — late GN
+    steps move p by far less than a voxel, so in practice only the first
+    round differs and the fixed point is the same (validated to sub-1e-4
+    pose agreement on the e2e tracking tests).  R=1 reproduces the
+    reference's semantics bit-exactly."""
     if stride > 1:
         # pixel sub-sampling (optimize_sampled's `sampling` knob); the
         # original pixel coordinates are reconstructed via `* stride` below.
@@ -121,19 +135,39 @@ def track_frame(
     ).reshape(-1, 3)
     valid_z = ((z > zmin) & (z < zmax)).reshape(-1)
 
-    # pack (dist, grad, weight) once: one row-gather per pixel per iteration
+    # pack (dist, grad, weight) once: one row-gather per pixel per round
     payload = pack_tracking_payload(vol)
 
-    def masked_gram(pose):
-        """(E, g, H, count) in ONE gather + ONE 8x8 Gram matmul on the MXU.
+    def gather_records(pose):
+        """The hot gather: per-pixel nearest-voxel records at `pose`.
 
-        G rows = mask * [ghat(3), p x ghat(3), psi, 1]; S = G^T G packs
-        H = S[:6,:6], g = S[:6,6], E = S[6,6], count = S[7,7]."""
+        Returns (d, ghat, c_v, ok) — everything psi/J need; ok folds the
+        grid-validity and w>0 gates (RigidPointOptimizer.cpp:47-50)."""
         R = pose[:3, :3]
         t = pose[:3, 3]
         p_w = pts_cam @ R.T + t
-        psi, ghat, w, valid = sdf_query_packed(payload, geom, p_w, truncation)
-        mf = (valid_z & (w > 0.0) & valid).astype(psi.dtype)
+        idx, valid = geom.nearest_info(p_w)
+        X, Y = geom.dims[0], geom.dims[1]
+        lin = (idx[..., 2] * Y + idx[..., 1]) * X + idx[..., 0]
+        rows = jnp.take(payload, lin, axis=0)
+        d = rows[..., 0]
+        g = rows[..., 1:4]
+        w = rows[..., 4]
+        ghat = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+        c_v = geom.voxel2world(idx)
+        ok = valid & (w > 0.0) & valid_z
+        return d, ghat, c_v, ok
+
+    def masked_gram(pose, rec):
+        """(E, g, H, count) from frozen records + ONE 8x8 Gram matmul on the
+        MXU: G rows = mask * [ghat(3), p x ghat(3), psi, 1]; S = G^T G packs
+        H = S[:6,:6], g = S[:6,6], E = S[6,6], count = S[7,7]."""
+        d, ghat, c_v, ok = rec
+        R = pose[:3, :3]
+        t = pose[:3, 3]
+        p_w = pts_cam @ R.T + t
+        psi = d + jnp.sum(ghat * (c_v - p_w), axis=-1)
+        mf = ok.astype(psi.dtype)
         G = jnp.concatenate(
             [ghat, jnp.cross(p_w, ghat), psi[:, None], jnp.ones_like(psi)[:, None]],
             axis=-1,
@@ -141,13 +175,20 @@ def track_frame(
         S = G.T @ G
         return S[6, 6], S[:6, 6], S[:6, :6], S[7, 7]
 
-    # GN loop body shared by both control-flow variants: updates are MASKED
-    # once converged/failed (pose frozen at the first converged iterate,
-    # step not applied — matching the reference's return-before-update).
-    def body(k, carry):
-        pose, conv, fail, E_mean, count, iters = carry
-        active = (~conv) & (~fail)
-        E, g, Hm, cnt = masked_gram(pose)
+    # GN step shared by both control-flow variants: updates are MASKED
+    # once converged/failed/out-of-budget (pose frozen at the first
+    # converged iterate, step not applied — matching the reference's
+    # return-before-update).
+    #
+    # `fresh` marks the iteration right after a correspondence gather.
+    # GLOBAL convergence may only be declared on fresh iterations: a frozen
+    # round solves its piecewise-linear subproblem exactly, so a non-fresh
+    # ||xi|| ~ 0 merely says the *subproblem* is done ("stalled") — the next
+    # round regathers and re-checks against fresh correspondences.
+    def gn_step(carry, rec, fresh):
+        pose, conv, fail, stalled, E_mean, count, iters = carry
+        active = (~conv) & (~fail) & (~stalled) & (iters < num_iterations)
+        E, g, Hm, cnt = masked_gram(pose, rec)
         fail_now = cnt < 0.5
         # Gauss-Newton step via Cholesky (cpp:66); relative jitter guards
         # PD-ness on degenerate scenes (the reference's bare llt would
@@ -155,36 +196,77 @@ def track_frame(
         Hj = Hm + (1e-6 * jnp.trace(Hm) / 6.0 + 1e-12) * jnp.eye(6, dtype=Hm.dtype)
         chol = jax.scipy.linalg.cho_factor(Hj)
         xi = damping * jax.scipy.linalg.cho_solve(chol, g)
-        conv_now = jnp.sum(xi * xi) < conv_threshold_sq
+        small = jnp.sum(xi * xi) < conv_threshold_sq
+        if fresh:
+            conv_now = small
+            stall_now = jnp.bool_(False)
+            trust = jnp.bool_(True)
+        else:
+            # trust region for frozen correspondences: a frozen step is only
+            # applied while it moves every point by well under a voxel
+            # (displacement bound ||v|| + lever * ||w||); larger steps end
+            # the round so the next gather refreshes the correspondences.
+            # Valid points lie inside the grid, so the grid bounding sphere
+            # is the rotation lever.
+            lever = (
+                sum(s * s for s in geom.shift) ** 0.5
+                + 0.867 * max(geom.dims) * geom.voxel_size
+            )
+            disp = jnp.linalg.norm(xi[:3]) + lever * jnp.linalg.norm(xi[3:])
+            trust = disp < 0.25 * geom.voxel_size
+            conv_now = jnp.bool_(False)
+            stall_now = small | ~trust
         # converged -> keep pose (reference returns before applying the step)
-        step_ok = active & ~(conv_now | fail_now)
+        step_ok = active & trust & ~(small | fail_now)
         new_pose = jnp.where(step_ok, se3.se3_exp(-xi) @ pose, pose)
+        # a stalling frozen iteration performs no reference-visible work:
+        # it does not consume GN budget
+        counted = active & ~stall_now
         return (
             new_pose,
             jnp.where(active, conv_now, conv),
             jnp.where(active, fail_now, fail),
-            jnp.where(active, E / jnp.maximum(cnt, 1.0), E_mean),
-            jnp.where(active, cnt.astype(jnp.int32), count),
-            iters + active.astype(jnp.int32),
+            jnp.where(active, stall_now, stalled),
+            jnp.where(counted, E / jnp.maximum(cnt, 1.0), E_mean),
+            jnp.where(counted, cnt.astype(jnp.int32), count),
+            iters + counted.astype(jnp.int32),
         )
+
+    def round_body(carry):
+        """One gather + `regather_every` frozen GN steps."""
+        rec = gather_records(carry[0])
+        carry = gn_step(carry, rec, fresh=True)
+        for _ in range(regather_every - 1):
+            carry = gn_step(carry, rec, fresh=False)
+        # clear the round-local stall flag
+        return carry[:3] + (jnp.bool_(False),) + carry[4:]
 
     init = (
         init_pose,
-        jnp.bool_(False),
-        jnp.bool_(False),
+        jnp.bool_(False),   # converged
+        jnp.bool_(False),   # failed
+        jnp.bool_(False),   # stalled (round-local)
         jnp.float32(0.0),
         jnp.int32(0),
         jnp.int32(0),
     )
     if early_exit:
-        pose, conv, fail, E_mean, count, iters = jax.lax.while_loop(
-            lambda c: (c[5] < num_iterations) & (~c[1]) & (~c[2]),
-            lambda c: body(c[5], c),
+        pose, conv, fail, _, E_mean, count, iters = jax.lax.while_loop(
+            lambda c: (c[6] < num_iterations) & (~c[1]) & (~c[2]),
+            round_body,
             init,
         )
     else:
-        pose, conv, fail, E_mean, count, iters = jax.lax.fori_loop(
-            0, num_iterations, body, init, unroll=True
+        # fixed-trip: ceil(num/R) rounds exhaust the budget when no round
+        # stalls (always true at conv_threshold_sq=0, the static-control-flow
+        # use case); with a nonzero threshold a stalled round under-consumes
+        # budget and the solve finishes early at the stalled iterate.
+        # fully unrolled: dynamic-trip loops host-sync per trip on remote
+        # runtimes (measured ~2.4 ms/trip on the axon tunnel), static
+        # programs pipeline freely
+        n_rounds = -(-num_iterations // regather_every)
+        pose, conv, fail, _, E_mean, count, iters = jax.lax.fori_loop(
+            0, n_rounds, lambda k, c: round_body(c), init, unroll=True
         )
     return TrackResult(
         pose=pose,

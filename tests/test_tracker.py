@@ -74,3 +74,59 @@ def test_tracker_stride():
         conv_threshold_sq=1e-12, damping=1.0, stride=2,
     )
     assert int(res.num_valid) > 0
+
+def test_tracker_regather_every_matches_exact():
+    """Frozen-correspondence rounds (regather_every>1) must land at the same
+    pose as the exact per-iteration regather (RigidPointOptimizer semantics):
+    late GN steps move points far less than a voxel, so the nearest-voxel
+    assignments — and hence the piecewise-linear psi — are identical."""
+    geom, vol, K, depth, T = build_fused_scene()
+    xi = jnp.array([0.01, -0.008, 0.012, 0.004, -0.006, 0.005], dtype=jnp.float32)
+    init = se3.se3_exp(xi)
+    # reference-default convergence threshold ||xi|| < 1e-3
+    # (RigidOptimizer.h:43): frozen rounds and exact regather converge to
+    # the same pose
+    kw = dict(truncation=T, zmin=0.1, zmax=5.0, num_iterations=50,
+              conv_threshold_sq=1e-6, damping=1.0)
+    exact = track_frame(vol, geom, depth, K, init, **kw)
+    for R in (2, 5):
+        froz = track_frame(vol, geom, depth, K, init, regather_every=R, **kw)
+        diff = float(jnp.linalg.norm(
+            se3.se3_log(jnp.linalg.inv(exact.pose) @ froz.pose)))
+        assert diff < 5e-4, (R, diff)
+        assert float(froz.energy) < 1.5 * max(float(exact.energy), 1e-6)
+    # pathologically tight threshold (never converges, 50-iter cap, flat
+    # discretization basin): still lands at the same energy level
+    kwt = dict(kw, conv_threshold_sq=1e-10)
+    exact_t = track_frame(vol, geom, depth, K, init, **kwt)
+    froz_t = track_frame(vol, geom, depth, K, init, regather_every=5, **kwt)
+    assert float(froz_t.energy) < 1.2 * float(exact_t.energy)
+    # R=1 must be bit-exact with the default path
+    r1 = track_frame(vol, geom, depth, K, init, regather_every=1, **kw)
+    assert np.allclose(np.asarray(r1.pose), np.asarray(exact.pose), atol=0.0)
+
+
+def test_tracker_regather_fixed_trip():
+    """Fixed-trip (early_exit=False) variant with rounds: same pose as the
+    while_loop variant when the budget is exhausted without convergence."""
+    geom, vol, K, depth, T = build_fused_scene()
+    # tiny offset: every frozen step stays inside the trust region, so the
+    # fixed-trip round count consumes the budget exactly
+    xi = jnp.array([3e-4, 2e-4, -3e-4, 1e-4, -2e-4, 1e-4], dtype=jnp.float32)
+    init = se3.se3_exp(xi)
+    kw = dict(truncation=T, zmin=0.1, zmax=5.0, num_iterations=6,
+              conv_threshold_sq=0.0, damping=1.0, regather_every=3)
+    a = track_frame(vol, geom, depth, K, init, early_exit=True, **kw)
+    b = track_frame(vol, geom, depth, K, init, early_exit=False, **kw)
+    # threshold 0 keeps GN jittering in the flat discretization basin, so
+    # trust-region stalls may make the fixed-trip variant finish early at a
+    # nearby basin iterate — assert agreement at basin scale (~voxel/10)
+    assert np.allclose(np.asarray(a.pose), np.asarray(b.pose), atol=3e-3)
+    assert int(a.iterations) == 6
+    assert 0 < int(b.iterations) <= 6
+    # R=1 fixed-trip is bit-exact with the while_loop variant
+    kw1 = dict(kw, regather_every=1)
+    a1 = track_frame(vol, geom, depth, K, init, early_exit=True, **kw1)
+    b1 = track_frame(vol, geom, depth, K, init, early_exit=False, **kw1)
+    assert np.allclose(np.asarray(a1.pose), np.asarray(b1.pose), atol=0.0)
+    assert int(a1.iterations) == int(b1.iterations) == 6
