@@ -34,6 +34,51 @@ from psgradientsdf_tpu.refine.render import ResidualData
 from psgradientsdf_tpu.utils import se3
 
 
+# ------------------------------------------------------------------ fixed PCG
+
+def pcg_fixed(matvec, b: jax.Array, M_inv, iters: int, tol: float) -> jax.Array:
+    """Jacobi-preconditioned CG with a STATIC trip count and masked early
+    exit (residual-norm test on-device, updates frozen once converged).
+
+    Mathematically the same preconditioned CG as
+    jax.scipy.sparse.linalg.cg / Eigen's ConjugateGradient, but the loop is
+    a lax.scan — required inside shard_map/collective contexts, which must
+    execute the same static program on every device.  For single-device
+    solves the while_loop CG is FASTER (its early exit skips real matvecs,
+    ~48 of 100 on the bench problem, and while trips inside a large jit do
+    not host-sync; only top-level loop trips do — BASELINE.md), so it stays
+    the default (`static=False`)."""
+    bnorm_sq = jnp.vdot(b, b)
+    tol_sq = (tol * tol) * bnorm_sq
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = M_inv(r0)
+    rz0 = jnp.vdot(r0, z0)
+
+    def step(carry, _):
+        x, r, p, rz = carry
+        active = jnp.vdot(r, r) > tol_sq
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
+        x_n = x + alpha * p
+        r_n = r - alpha * Ap
+        z_n = M_inv(r_n)
+        rz_n = jnp.vdot(r_n, z_n)
+        beta = rz_n / jnp.maximum(rz, 1e-30)
+        p_n = z_n + beta * p
+        new = (
+            jnp.where(active, x_n, x),
+            jnp.where(active, r_n, r),
+            jnp.where(active, p_n, p),
+            jnp.where(active, rz_n, rz),
+        )
+        return new, None
+
+    (x, _, _, _), _ = jax.lax.scan(step, (x0, r0, z0, rz0), None, length=iters)
+    return x
+
+
 # ---------------------------------------------------------------- stencil ops
 
 def stencil_apply(x: jax.Array, J0: jax.Array, Ji: jax.Array,
@@ -172,6 +217,7 @@ def solve_distance(
     laplacian_diag_only: bool = False,
     cg_iters: int = 100,
     cg_tol: float = 1e-6,
+    cg_static: bool = False,
 ) -> jax.Array:
     """CG on (J^T W J + reg + damping diag) dd = J^T W r + reg terms
     (PsOptimizer.cpp:124-172). Returns the GN step delta_d [N]."""
@@ -220,9 +266,12 @@ def solve_distance(
     d_safe = jnp.where(prob.valid & (d_total > 0.0), d_total, 1.0)
 
     b = jnp.where(prob.valid, b, 0.0)
-    delta, _ = jax.scipy.sparse.linalg.cg(
-        matvec, b, maxiter=cg_iters, tol=cg_tol, M=lambda x: x / d_safe
-    )
+    if cg_static:
+        delta = pcg_fixed(matvec, b, lambda x: x / d_safe, cg_iters, cg_tol)
+    else:
+        delta, _ = jax.scipy.sparse.linalg.cg(
+            matvec, b, maxiter=cg_iters, tol=cg_tol, M=lambda x: x / d_safe
+        )
     return jnp.where(prob.valid, delta, 0.0)
 
 
@@ -251,6 +300,7 @@ def solve_albedo(
     damping: float,
     cg_iters: int = 100,
     cg_tol: float = 1e-6,
+    cg_static: bool = False,
 ) -> jax.Array:
     """Albedo GN step (PsOptimizer.cpp:85-121). Variables [N,3]."""
     if J_rho.ndim == 2:
@@ -308,9 +358,12 @@ def solve_albedo(
     d_safe = jnp.where(prob.valid[:, None] & (d_total > 0.0), d_total, 1.0)
 
     b = jnp.where(prob.valid[:, None], b, 0.0)
-    delta, _ = jax.scipy.sparse.linalg.cg(
-        matvec, b, maxiter=cg_iters, tol=cg_tol, M=lambda x: x / d_safe
-    )
+    if cg_static:
+        delta = pcg_fixed(matvec, b, lambda x: x / d_safe, cg_iters, cg_tol)
+    else:
+        delta, _ = jax.scipy.sparse.linalg.cg(
+            matvec, b, maxiter=cg_iters, tol=cg_tol, M=lambda x: x / d_safe
+        )
     return jnp.where(prob.valid[:, None], delta, 0.0)
 
 

@@ -132,3 +132,26 @@ def test_dist_block_reduces_geometry_error():
     E1 = ref.energies()[0]
     assert np.isfinite(E1)
     assert E1 < E0, (E0, E1)
+
+
+def test_pcg_fixed_matches_scipy_cg():
+    """Static-trip masked PCG (needed under shard_map) == while-loop CG."""
+    import numpy as np
+    import jax.numpy as jnp
+    import jax
+    from psgradientsdf_tpu.refine.solvers import pcg_fixed
+
+    rng = np.random.default_rng(0)
+    A_np = rng.normal(size=(64, 64)).astype(np.float32)
+    A_np = A_np @ A_np.T + 64 * np.eye(64, dtype=np.float32)
+    b_np = rng.normal(size=(64,)).astype(np.float32)
+    A = jnp.asarray(A_np)
+    b = jnp.asarray(b_np)
+    d = jnp.diag(A)
+    matvec = lambda x: A @ x
+    M_inv = lambda x: x / d
+    x_ref, _ = jax.scipy.sparse.linalg.cg(matvec, b, maxiter=200, tol=1e-8,
+                                          M=M_inv)
+    x_fix = pcg_fixed(matvec, b, M_inv, 200, 1e-8)
+    assert np.allclose(np.asarray(x_fix), np.asarray(x_ref), atol=1e-4)
+    assert np.allclose(np.asarray(A_np @ np.asarray(x_fix)), b_np, atol=1e-3)
