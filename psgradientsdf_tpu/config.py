@@ -64,6 +64,8 @@ class OptimizerConfig:
     reg_weight_l: float = 0.0
     order: int = 1
     upsample: bool = False
+    joint_dp: bool = False        # TPU extension: joint distance+pose GN
+                                  # step with Schur pose elimination
     model: str = SH1
     loss: int = robust.CAUCHY
     # ablation switches (main_ps.cpp:79-82)
@@ -158,6 +160,7 @@ def parse_config(cfg: dict, save_copy: bool = True) -> PipelineConfig:
         ("damping", "damping"),
         ("converge threshold", "conv_threshold"),
         ("upsample", "upsample"),
+        ("joint distance pose", "joint_dp"),
         ("lambda", "lam"),
     ]:
         if json_key in cfg:

@@ -242,6 +242,43 @@ def _pose_step(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
     return new_poses, e
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "geom", "model", "order", "loss", "lam", "voxel_size",
+        "reg_weight_n", "reg_weight_l", "damping", "laplacian_diag_only",
+    ),
+)
+def _joint_dp_step(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+                   *, model, order, loss, lam, voxel_size, reg_weight_n,
+                   reg_weight_l, damping, laplacian_diag_only):
+    """Joint distance+pose GN step with Schur-complement pose elimination
+    (solvers.solve_joint_dist_pose) — a TPU-build extension over the
+    reference's alternating distance-then-pose blocks."""
+    kw = dict(model=model, order=order, loss=loss, lam=lam, voxel_size=voxel_size)
+    rd = _residuals.__wrapped__(
+        prob, geom, dist, albedo, grad_stored, poses, images, K, lights, **kw)
+    G = jacobians.image_pi_grad(images, rd, K)
+    if model == LED:
+        DJ = jacobians.dist_jacobian_led(
+            prob, geom, dist, albedo, grad_stored, lights, G, poses, voxel_size)
+        J_c = jacobians.pose_jacobian_led(G, rd, poses, albedo, grad_stored, lights)
+    else:
+        DJ = jacobians.dist_jacobian_sh(
+            prob, geom, dist, albedo, grad_stored, lights, G, poses, voxel_size, order)
+        J_c = jacobians.pose_jacobian_sh(G, rd, poses)
+    delta_d, delta_xi = solvers.solve_joint_dist_pose(
+        prob, rd, DJ, J_c, dist, voxel_size,
+        reg_weight_n=reg_weight_n, reg_weight_l=reg_weight_l, damping=damping,
+        laplacian_diag_only=laplacian_diag_only,
+    )
+    new_dist, new_grad = solvers.update_distance(prob, dist, delta_d, voxel_size)
+    new_poses = solvers.update_poses(poses, delta_xi)
+    e = _energies.__wrapped__(
+        prob, geom, new_dist, albedo, new_grad, new_poses, images, K, lights, **kw)
+    return new_dist, new_grad, new_poses, e
+
+
 @functools.partial(jax.jit, static_argnames=("geom", "voxel_size"))
 def _init_albedo(prob, geom, dist, grad_stored, poses, images, K, voxel_size):
     """Mean observed intensity over visible keyframes (Optimizer.cpp:50-81)."""
@@ -432,29 +469,44 @@ class PhotometricRefiner:
                 E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
                 self.metrics.log("block", iter=it, block="light", seconds=dt)
 
-            if distance:
+            if distance and pose and cfg.joint_dp:
+                # joint distance+pose GN with Schur pose elimination
                 T.tic()
-                self.dist, self.grad_stored, e = _dist_step(
+                self.dist, self.grad_stored, self.poses, e = _joint_dp_step(
                     *self._args(), **self._static_kwargs(),
                     reg_weight_n=w_n if normal_reg else 0.0,
                     reg_weight_l=w_l if laplacian_reg else 0.0,
                     damping=damping,
                     laplacian_diag_only=self.laplacian_diag_only,
                 )
-                dt = T.toc("distance", self.dist)
+                dt = T.toc("joint_dp", self.dist)
                 E, E_n, E_l, _ = (float(v) for v in e)
                 E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
-                self.metrics.log("block", iter=it, block="distance", seconds=dt)
+                self.metrics.log("block", iter=it, block="joint_dp", seconds=dt)
+            else:
+                if distance:
+                    T.tic()
+                    self.dist, self.grad_stored, e = _dist_step(
+                        *self._args(), **self._static_kwargs(),
+                        reg_weight_n=w_n if normal_reg else 0.0,
+                        reg_weight_l=w_l if laplacian_reg else 0.0,
+                        damping=damping,
+                        laplacian_diag_only=self.laplacian_diag_only,
+                    )
+                    dt = T.toc("distance", self.dist)
+                    E, E_n, E_l, _ = (float(v) for v in e)
+                    E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
+                    self.metrics.log("block", iter=it, block="distance", seconds=dt)
 
-            if pose:
-                T.tic()
-                self.poses, e = _pose_step(
-                    *self._args(), **self._static_kwargs(), damping=damping,
-                )
-                dt = T.toc("pose", self.poses)
-                E, _, _, _ = (float(v) for v in e)
-                E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
-                self.metrics.log("block", iter=it, block="pose", seconds=dt)
+                if pose:
+                    T.tic()
+                    self.poses, e = _pose_step(
+                        *self._args(), **self._static_kwargs(), damping=damping,
+                    )
+                    dt = T.toc("pose", self.poses)
+                    E, _, _, _ = (float(v) for v in e)
+                    E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
+                    self.metrics.log("block", iter=it, block="pose", seconds=dt)
 
             E_vec.append(E_total)
             rel_diff = abs(E_vec[-2] - E_total) / max(abs(E_vec[-2]), 1e-12)

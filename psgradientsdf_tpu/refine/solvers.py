@@ -204,7 +204,7 @@ def lap_diag(op: LapOperator, valid: jax.Array) -> jax.Array:
 
 # ------------------------------------------------------------ distance solve
 
-def solve_distance(
+def _distance_system(
     prob: RefineProblem,
     rd: ResidualData,
     DJ: DistJacobian,
@@ -214,13 +214,14 @@ def solve_distance(
     reg_weight_n: float,
     reg_weight_l: float,
     damping: float,
-    laplacian_diag_only: bool = False,
-    cg_iters: int = 100,
-    cg_tol: float = 1e-6,
-    cg_static: bool = False,
-) -> jax.Array:
-    """CG on (J^T W J + reg + damping diag) dd = J^T W r + reg terms
-    (PsOptimizer.cpp:124-172). Returns the GN step delta_d [N]."""
+    laplacian_diag_only: bool,
+):
+    """Assemble the distance-block normal equations as (b, diag, H_dd·x).
+
+    b = J^T W r (+ regularizer terms); H_dd·x includes the photometric
+    stencil operator, the Eikonal/Laplacian regularizers, and the
+    reference's multiplicative damping.  Shared by the alternating
+    distance solve and the joint Schur solve."""
     w = rd.w                                           # [N,F,3]
     b = stencil_apply_T(w * rd.r, DJ.J0, DJ.Ji, prob.nbr_idx)
     diag = stencil_diag(w, DJ.J0, DJ.Ji, prob.nbr_idx)
@@ -242,7 +243,7 @@ def solve_distance(
         b = b + reg_weight_l * lap_apply_T(lap.r, lap, prob.valid)
         diag = diag + reg_weight_l * lap_diag(lap, prob.valid)
 
-    def matvec(x):
+    def hdd_mv(x):
         out = stencil_apply_T(
             w * stencil_apply(x, DJ.J0, DJ.Ji, prob.nbr_idx),
             DJ.J0, DJ.Ji, prob.nbr_idx,
@@ -256,9 +257,37 @@ def solve_distance(
             out = out + reg_weight_l * lap_apply_T(
                 lap_apply(x, lap, prob.valid), lap, prob.valid
             )
-        out = out + damping * diag * x
+        return out + damping * diag * x
+
+    return b, diag, hdd_mv
+
+
+def solve_distance(
+    prob: RefineProblem,
+    rd: ResidualData,
+    DJ: DistJacobian,
+    dist: jax.Array,
+    voxel_size: float,
+    *,
+    reg_weight_n: float,
+    reg_weight_l: float,
+    damping: float,
+    laplacian_diag_only: bool = False,
+    cg_iters: int = 100,
+    cg_tol: float = 1e-6,
+    cg_static: bool = False,
+) -> jax.Array:
+    """CG on (J^T W J + reg + damping diag) dd = J^T W r + reg terms
+    (PsOptimizer.cpp:124-172). Returns the GN step delta_d [N]."""
+    b, diag, hdd_mv = _distance_system(
+        prob, rd, DJ, dist, voxel_size,
+        reg_weight_n=reg_weight_n, reg_weight_l=reg_weight_l, damping=damping,
+        laplacian_diag_only=laplacian_diag_only,
+    )
+
+    def matvec(x):
         # keep padded rows inert (identity) so CG is well-posed
-        return jnp.where(prob.valid, out, x)
+        return jnp.where(prob.valid, hdd_mv(x), x)
 
     # Jacobi preconditioner — Eigen's ConjugateGradient default
     # (DiagonalPreconditioner), which the reference therefore uses
@@ -285,6 +314,99 @@ def update_distance(
     new_dist = jnp.where(ok, dist - delta, dist)
     new_grad = geometry.fd_grad(prob, new_dist, voxel_size)
     return new_dist, new_grad
+
+
+# --------------------------------------------- joint distance+pose (Schur)
+
+def solve_joint_dist_pose(
+    prob: RefineProblem,
+    rd: ResidualData,
+    DJ: DistJacobian,
+    J_c: jax.Array,        # [N,F,3,6] pose Jacobian
+    dist: jax.Array,
+    voxel_size: float,
+    *,
+    reg_weight_n: float,
+    reg_weight_l: float,
+    damping: float,
+    laplacian_diag_only: bool = False,
+    cg_iters: int = 100,
+    cg_tol: float = 1e-6,
+    cg_static: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """ONE Gauss-Newton step over (distance, poses) jointly, with
+    Schur-complement elimination of the block-diagonal pose blocks.
+
+    The joint normal equations are
+
+        [ H_dd  H_dp ] [dd]   [g_d]
+        [ H_pd  H_pp ] [xi] = [g_p]
+
+    where H_pp is block-diagonal 6x6 per keyframe (each residual touches
+    exactly one pose).  Eliminating the pose blocks gives the reduced SPD
+    system (H_dd - H_dp H_pp^-1 H_pd) dd = g_d - H_dp H_pp^-1 g_p, solved
+    matrix-free by CG; poses back-substitute as
+    xi = H_pp^-1 (g_p - H_pd dd).
+
+    This is a TPU-build extension beyond the reference's alternating block
+    scheme (PsOptimizer.cpp:239-428) — one step captures the pose/geometry
+    cross-coupling the alternation ignores.  Under Z-sharded surface voxels
+    the H_pd/H_pp reductions are psums over the voxel axis and everything
+    pose-sized stays replicated — the BASELINE.json north-star "distributed
+    GN with Schur-complement reduction of pose blocks over collectives"
+    (collectives inserted by GSPMD from the array shardings).
+
+    Returns (delta_d [N], delta_xi [F,6]); both blocks use the reference's
+    subtract-delta update convention.
+    """
+    w = rd.w                                             # [N,F,3]
+    wm = jnp.where(prob.valid[:, None, None], w, 0.0)
+
+    # pose blocks (replicated-small): H_pp [F,6,6], g_p [F,6]
+    H_pp = jnp.einsum("nfc,nfcb,nfcd->fbd", wm, J_c, J_c)
+    dpp = jnp.diagonal(H_pp, axis1=-2, axis2=-1)
+    idx6 = jnp.arange(6)
+    H_pp = H_pp.at[..., idx6, idx6].add(damping * dpp)
+    H_pp = H_pp + 1e-8 * jnp.eye(6, dtype=H_pp.dtype)
+    g_p = jnp.einsum("nfc,nfcb,nfc->fb", wm, J_c, rd.r)
+
+    def hpp_solve(y):                                    # [F,6] -> [F,6]
+        return jnp.linalg.solve(H_pp, y[..., None])[..., 0]
+
+    def hpd_mv(x):                                       # [N] -> [F,6]
+        Jdx = stencil_apply(x, DJ.J0, DJ.Ji, prob.nbr_idx)   # [N,F,3]
+        return jnp.einsum("nfc,nfcb->fb", wm * Jdx, J_c)
+
+    def hdp_mv(y):                                       # [F,6] -> [N]
+        Jcy = jnp.einsum("nfcb,fb->nfc", J_c, y)
+        return stencil_apply_T(wm * Jcy, DJ.J0, DJ.Ji, prob.nbr_idx)
+
+    b_d, diag, hdd_mv = _distance_system(
+        prob, rd, DJ, dist, voxel_size,
+        reg_weight_n=reg_weight_n, reg_weight_l=reg_weight_l, damping=damping,
+        laplacian_diag_only=laplacian_diag_only,
+    )
+    b_red = b_d - hdp_mv(hpp_solve(g_p))
+    b_red = jnp.where(prob.valid, b_red, 0.0)
+
+    def matvec(x):
+        out = hdd_mv(x) - hdp_mv(hpp_solve(hpd_mv(x)))
+        return jnp.where(prob.valid, out, x)
+
+    # Jacobi preconditioner from the (dominant) H_dd diagonal
+    d_total = (1.0 + damping) * diag
+    d_safe = jnp.where(prob.valid & (d_total > 0.0), d_total, 1.0)
+    M_inv = lambda x: x / d_safe
+
+    if cg_static:
+        delta_d = pcg_fixed(matvec, b_red, M_inv, cg_iters, cg_tol)
+    else:
+        delta_d, _ = jax.scipy.sparse.linalg.cg(
+            matvec, b_red, maxiter=cg_iters, tol=cg_tol, M=M_inv
+        )
+    delta_d = jnp.where(prob.valid, delta_d, 0.0)
+    delta_xi = hpp_solve(g_p - hpd_mv(delta_d))
+    return delta_d, delta_xi
 
 
 # -------------------------------------------------------------- albedo solve

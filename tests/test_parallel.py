@@ -154,3 +154,33 @@ def test_sharded_refine_blocks_match(mesh8, scene):
 
     np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref), atol=2e-4)
     np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=2e-4)
+
+
+def test_sharded_joint_schur_matches(mesh8, scene):
+    """Joint distance+pose Schur step under GSPMD (N sharded over z): the
+    H_pd/H_pp reductions become psums over the voxel shards; result must
+    equal the single-device solve (north-star 'distributed GN with Schur
+    pose reduction over collectives')."""
+    from psgradientsdf_tpu.refine.optimizer import _joint_dp_step
+
+    geom, vol, K, T = scene["geom"], scene["vol"], scene["K"], scene["truncation"]
+    prob = extract_problem(vol, geom, [0])
+    images = jnp.stack([scene["frames"][0]["color"]])
+    poses = jnp.eye(4, dtype=jnp.float32)[None]
+    lights = jnp.array([[0.1, 0.2, -0.15, 0.85]], dtype=jnp.float32)
+    kw = dict(model="SH1", order=1, loss=1, lam=0.2, voxel_size=geom.voxel_size,
+              reg_weight_n=0.5, reg_weight_l=0.0, damping=1.0,
+              laplacian_diag_only=False)
+
+    args = (prob, geom, prob.dist, prob.albedo, prob.grad_stored, poses, images,
+            K, lights)
+    d_ref, g_ref, p_ref, e_ref = _joint_dp_step(*args, **kw)
+
+    prob_sh, images_sh = shard.shard_refine_arrays(mesh8, prob, images)
+    args_sh = (prob_sh, geom, prob_sh.dist, prob_sh.albedo, prob_sh.grad_stored,
+               poses, images_sh, K, lights)
+    d_sh, g_sh, p_sh, e_sh = _joint_dp_step(*args_sh, **kw)
+
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(e_sh), np.asarray(e_ref), rtol=1e-3)

@@ -155,3 +155,89 @@ def test_pcg_fixed_matches_scipy_cg():
     x_fix = pcg_fixed(matvec, b, M_inv, 200, 1e-8)
     assert np.allclose(np.asarray(x_fix), np.asarray(x_ref), atol=1e-4)
     assert np.allclose(np.asarray(A_np @ np.asarray(x_fix)), b_np, atol=1e-3)
+
+
+def test_joint_dist_pose_schur_matches_dense():
+    """Schur-complement elimination == dense joint solve on the real
+    (small-N) refinement system."""
+    import jax
+    from psgradientsdf_tpu.refine import jacobians
+    from psgradientsdf_tpu.refine.optimizer import _residuals
+    from psgradientsdf_tpu.refine import solvers
+
+    ref, light_gt = build_refiner()
+    ref.init_albedo()
+    kw = ref._static_kwargs()
+    rd = _residuals(*ref._args(), **kw)
+    G = jacobians.image_pi_grad(ref.images, rd, ref.K)
+    DJ = jacobians.dist_jacobian_sh(
+        ref.prob, ref.geom, ref.dist, ref.albedo, ref.grad_stored, ref.lights,
+        G, ref.poses, ref.geom.voxel_size, 1)
+    J_c = jacobians.pose_jacobian_sh(G, rd, ref.poses)
+
+    skw = dict(reg_weight_n=0.5, reg_weight_l=0.0, damping=1.0)
+    dd, dxi = solvers.solve_joint_dist_pose(
+        ref.prob, rd, DJ, J_c, ref.dist, ref.geom.voxel_size,
+        cg_iters=400, cg_tol=1e-10, **skw)
+
+    # dense reference: materialize the joint H via operator probes
+    N = int(ref.prob.dist.shape[0])
+    F = int(ref.poses.shape[0])
+    valid = np.asarray(ref.prob.valid)
+    w = jnp.where(ref.prob.valid[:, None, None], rd.w, 0.0)
+
+    b_d, diag, hdd_mv = solvers._distance_system(
+        ref.prob, rd, DJ, ref.dist, ref.geom.voxel_size,
+        laplacian_diag_only=False, **skw)
+    eye_N = jnp.eye(N, dtype=jnp.float32)
+    H_dd = np.asarray(jax.vmap(hdd_mv)(eye_N)).T          # [N,N]
+
+    def hpd_col(x):
+        Jdx = solvers.stencil_apply(x, DJ.J0, DJ.Ji, ref.prob.nbr_idx)
+        return jnp.einsum("nfc,nfcb->fb", w * Jdx, J_c).reshape(-1)
+    H_pd = np.asarray(jax.vmap(hpd_col)(eye_N)).T          # [6F, N]
+
+    H_pp = np.asarray(jnp.einsum("nfc,nfcb,nfcd->fbd", w, J_c, J_c))
+    Hpp_dense = np.zeros((6 * F, 6 * F), np.float64)
+    for f in range(F):
+        Hf = H_pp[f] + skw["damping"] * np.diag(np.diag(H_pp[f])) + 1e-8 * np.eye(6)
+        Hpp_dense[6*f:6*f+6, 6*f:6*f+6] = Hf
+
+    g_d = np.asarray(jnp.where(ref.prob.valid, b_d, 0.0))
+    g_p = np.asarray(jnp.einsum("nfc,nfcb,nfc->fb", w, J_c, rd.r)).reshape(-1)
+
+    # restrict to valid rows (invalid rows are identity in the operator)
+    vi = np.where(valid)[0]
+    n_v = len(vi)
+    H = np.zeros((n_v + 6 * F, n_v + 6 * F), np.float64)
+    H[:n_v, :n_v] = H_dd[np.ix_(vi, vi)]
+    H[:n_v, n_v:] = H_pd[:, vi].T
+    H[n_v:, :n_v] = H_pd[:, vi]
+    H[n_v:, n_v:] = Hpp_dense
+    g = np.concatenate([g_d[vi], g_p])
+    sol = np.linalg.solve(H, g)
+
+    dd_v = np.asarray(dd)[vi]
+    assert np.allclose(dd_v, sol[:n_v], atol=5e-4), (
+        np.abs(dd_v - sol[:n_v]).max())
+    assert np.allclose(np.asarray(dxi).reshape(-1), sol[n_v:], atol=5e-4), (
+        np.abs(np.asarray(dxi).reshape(-1) - sol[n_v:]).max())
+
+
+def test_joint_dp_step_reduces_energy():
+    """The joint Schur step must reduce the photometric+reg energy from a
+    perturbed-pose start (the scenario alternation handles poorly)."""
+    ref, light_gt = build_refiner(n_poses=3)
+    ref.init_albedo()
+    ref.cfg.joint_dp = True
+    E0 = ref.energies()
+    tot0 = E0[0] + 0.5 * E0[1]
+    from psgradientsdf_tpu.refine.optimizer import _joint_dp_step
+    d, g, p, e = _joint_dp_step(
+        *ref._args(), **ref._static_kwargs(),
+        reg_weight_n=0.5, reg_weight_l=0.0, damping=1.0,
+        laplacian_diag_only=False)
+    e = [float(v) for v in e]
+    tot1 = e[0] + 0.5 * e[1]
+    assert np.isfinite(tot1)
+    assert tot1 < tot0, (tot0, tot1)
