@@ -32,6 +32,11 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", default="",
                     help="resume the scan from a checkpoint written by "
                          "--checkpoint-every (path to scan_checkpoint.npz)")
+    ap.add_argument("--profile", default="", metavar="DIR",
+                    help="capture a jax.profiler device trace of the whole "
+                         "run into DIR (view with tensorboard/xprof; "
+                         "SURVEY §5.1 — replaces the reference's tic/toc-"
+                         "only instrumentation)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -42,7 +47,15 @@ def main(argv=None) -> int:
     cfg = load_config(args.config_file)
     pipe = ReconstructionPipeline(cfg, checkpoint_every=args.checkpoint_every,
                                   resume=args.resume)
-    summary = pipe.run(refine=not args.no_refine)
+    if args.profile:
+        import contextlib
+        import jax
+        trace_ctx = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+        trace_ctx = contextlib.nullcontext()
+    with trace_ctx:
+        summary = pipe.run(refine=not args.no_refine)
     summary_small = {k: v for k, v in summary.items() if k != "track_log"}
     print(json.dumps(summary_small, default=float))
     if args.summary_json:

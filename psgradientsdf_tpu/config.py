@@ -85,6 +85,11 @@ class TpuConfig:
     mesh_frames: int = 1          # keyframe sharding axis size
     track_stride: int = 1         # pixel sub-sampling in tracking
     track_regather: int = 1       # GN iterations per correspondence gather
+    track_static: bool = False    # fixed-trip masked GN (no while_loop):
+                                  # on remote runtimes a data-dependent
+                                  # while demotes the body's gather emitter
+                                  # (BASELINE.md); budget should then be
+                                  # set to the typical convergence count
     chunk_size: int = 8           # frames per on-device scan dispatch
     dtype: str = "float32"
 
@@ -190,6 +195,8 @@ def parse_config(cfg: dict, save_copy: bool = True) -> PipelineConfig:
         tpu.track_stride = int(cfg["track stride"])
     if "track regather" in cfg:
         tpu.track_regather = max(1, int(cfg["track regather"]))
+    if "track static" in cfg:
+        tpu.track_static = bool(cfg["track static"])
     if "chunk size" in cfg:
         tpu.chunk_size = max(1, int(cfg["chunk size"]))
 

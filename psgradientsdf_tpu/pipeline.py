@@ -223,6 +223,7 @@ class ReconstructionPipeline:
                 damping=tr.damping, stride=cfg.tpu.track_stride,
                 use_gt=gt, depth_unit=self._depth_unit,
                 regather_every=cfg.tpu.track_regather,
+                early_exit=not cfg.tpu.track_static,
             )
             poses = np.asarray(res.poses)
             conv = np.asarray(res.converged)

@@ -76,7 +76,7 @@ def _preprocess(depths: jax.Array, colors: jax.Array, fals: FalsCache,
     jax.jit,
     static_argnames=(
         "geom", "truncation", "zmin", "zmax", "num_iterations", "stride",
-        "use_gt", "depth_unit", "regather_every",
+        "use_gt", "depth_unit", "regather_every", "early_exit",
     ),
 )
 def _chunk_step(
@@ -102,6 +102,7 @@ def _chunk_step(
     use_gt: bool,
     depth_unit: float = 1.0,
     regather_every: int = 1,
+    early_exit: bool = True,
 ):
     """One frame: masked GN track + gated fuse, all static control flow."""
     depth, color = _to_metric(depth, color, depth_unit)
@@ -118,6 +119,7 @@ def _chunk_step(
             num_iterations=num_iterations,
             conv_threshold_sq=conv_threshold_sq,
             damping=damping, stride=stride, regather_every=regather_every,
+            early_exit=early_exit,
         )
         new_pose = jnp.where(ok, res.pose, pose)
         conv = res.converged & ok
@@ -157,6 +159,7 @@ def process_chunk(
     use_gt: bool = False,
     depth_unit: float = 1.0,
     regather_every: int = 1,
+    early_exit: bool = True,
 ) -> Tuple[GradSdfVolume, ChunkResult]:
     """Track + fuse a chunk of frames with pipelined dispatch.
 
@@ -175,7 +178,7 @@ def process_chunk(
         geom=geom, truncation=truncation, zmin=zmin, zmax=zmax,
         num_iterations=num_iterations, conv_threshold_sq=conv_threshold_sq,
         damping=damping, stride=stride, use_gt=use_gt, depth_unit=depth_unit,
-        regather_every=regather_every,
+        regather_every=regather_every, early_exit=early_exit,
     )
     pose = init_pose
     outs = []
