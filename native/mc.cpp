@@ -16,6 +16,8 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <clocale>
+#include <locale.h>
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
@@ -38,6 +40,27 @@ const int EDGES[12][2] = {
 
 struct V3 { float x, y, z; };
 
+}  // namespace
+
+
+namespace {
+// Pins LC_NUMERIC to "C" for the current thread so %g always prints a
+// '.' decimal point regardless of the embedding process's locale (the
+// Python fallback formatter is locale-independent; this keeps parity).
+struct CNumericLocale {
+  locale_t loc = (locale_t)0;
+  locale_t old = (locale_t)0;
+  CNumericLocale() {
+    loc = newlocale(LC_NUMERIC_MASK, "C", (locale_t)0);
+    if (loc) old = uselocale(loc);
+  }
+  ~CNumericLocale() {
+    if (loc) {
+      uselocale(old);
+      freelocale(loc);
+    }
+  }
+};
 }  // namespace
 
 extern "C" {
@@ -172,6 +195,7 @@ int ply_write_mesh(const char* path,
                    const uint8_t* colors) {
   FILE* fh = std::fopen(path, "w");
   if (!fh) return 1;
+  CNumericLocale numeric_guard;
   std::vector<char> buf(1 << 22);   // per-call: writers may run concurrently
   std::setvbuf(fh, buf.data(), _IOFBF, buf.size());
   std::fprintf(fh, "ply\nformat ascii 1.0\n");
@@ -197,9 +221,11 @@ int ply_write_mesh(const char* path,
     const int32_t* f = faces + 3 * i;
     std::fprintf(fh, "3 %d %d %d\n", f[0], f[1], f[2]);
   }
+  // the 4 MiB stdio buffer typically flushes inside fclose(): its return
+  // value carries ENOSPC/EIO-style failures that ferror() cannot yet see
   const int rc = std::ferror(fh);
-  std::fclose(fh);
-  return rc ? 1 : 0;
+  const int crc = std::fclose(fh);
+  return (rc || crc != 0) ? 1 : 0;
 }
 
 // Oriented point cloud: x y z nx ny nz r g b per line.
@@ -208,6 +234,7 @@ int ply_write_pointcloud(const char* path,
                          const uint8_t* colors, int64_t n) {
   FILE* fh = std::fopen(path, "w");
   if (!fh) return 1;
+  CNumericLocale numeric_guard;
   std::vector<char> buf(1 << 22);   // per-call: writers may run concurrently
   std::setvbuf(fh, buf.data(), _IOFBF, buf.size());
   std::fprintf(fh, "ply\nformat ascii 1.0\n");
@@ -226,8 +253,8 @@ int ply_write_pointcloud(const char* path,
                  (int)c[0], (int)c[1], (int)c[2]);
   }
   const int rc = std::ferror(fh);
-  std::fclose(fh);
-  return rc ? 1 : 0;
+  const int crc = std::fclose(fh);
+  return (rc || crc != 0) ? 1 : 0;
 }
 
 }  // extern "C"

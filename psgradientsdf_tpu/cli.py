@@ -47,12 +47,11 @@ def main(argv=None) -> int:
     cfg = load_config(args.config_file)
     pipe = ReconstructionPipeline(cfg, checkpoint_every=args.checkpoint_every,
                                   resume=args.resume)
+    import contextlib
     if args.profile:
-        import contextlib
         import jax
         trace_ctx = jax.profiler.trace(args.profile)
     else:
-        import contextlib
         trace_ctx = contextlib.nullcontext()
     with trace_ctx:
         summary = pipe.run(refine=not args.no_refine)

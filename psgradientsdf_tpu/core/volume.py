@@ -183,10 +183,14 @@ def pack_tracking_payload(vol: GradSdfVolume) -> jax.Array:
     ).reshape(-1, 8)
 
 
-def sdf_query_packed(
-    payload_flat: jax.Array, geom: GridGeometry, pts: jax.Array, truncation: float
+def sdf_records_packed(
+    payload_flat: jax.Array, geom: GridGeometry, pts: jax.Array
 ):
-    """sdf_query against a pack_tracking_payload buffer (one gather)."""
+    """Nearest-voxel records at pts from a pack_tracking_payload buffer
+    (ONE row-gather): (d, ghat, c_v, w, valid) — the pieces of the
+    Gradient-SDF query (VolumetricGradSdf.h:76-93) before psi evaluation.
+    Shared by sdf_query_packed and the tracker's frozen-correspondence
+    rounds (tracking/tracker.py)."""
     idx, valid = geom.nearest_info(pts)
     X, Y = geom.dims[0], geom.dims[1]
     lin = (idx[..., 2] * Y + idx[..., 1]) * X + idx[..., 0]
@@ -197,6 +201,14 @@ def sdf_query_packed(
     gnorm = jnp.linalg.norm(g, axis=-1, keepdims=True)
     ghat = g / jnp.maximum(gnorm, 1e-12)
     c_v = geom.voxel2world(idx)
+    return d, ghat, c_v, w, valid
+
+
+def sdf_query_packed(
+    payload_flat: jax.Array, geom: GridGeometry, pts: jax.Array, truncation: float
+):
+    """sdf_query against a pack_tracking_payload buffer (one gather)."""
+    d, ghat, c_v, w, valid = sdf_records_packed(payload_flat, geom, pts)
     psi = d + jnp.sum(ghat * (c_v - pts), axis=-1)
     psi = jnp.where(valid, psi, truncation)
     ghat = jnp.where(valid[..., None], ghat, 0.0)

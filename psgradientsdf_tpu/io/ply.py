@@ -18,7 +18,9 @@ def write_mesh_ply(
     faces: np.ndarray,           # [F,3] int
     colors: np.ndarray = None,   # [V,3] float in [0,1] or uint8
 ) -> bool:
-    vertices = np.asarray(vertices)
+    # float32 up front: the native writer formats float32, and identical
+    # output regardless of which writer runs requires matching precision
+    vertices = np.asarray(vertices, dtype=np.float32)
     faces = np.asarray(faces)
     has_color = colors is not None
     if has_color:
@@ -60,8 +62,8 @@ def write_pointcloud_ply(
     normals: np.ndarray,   # [N,3]
     colors: np.ndarray,    # [N,3] float [0,1]
 ) -> bool:
-    points = np.asarray(points)
-    normals = np.asarray(normals)
+    points = np.asarray(points, dtype=np.float32)
+    normals = np.asarray(normals, dtype=np.float32)
     colors = np.clip(np.asarray(colors) * 255.0, 0, 255).astype(np.int32)
     from psgradientsdf_tpu.native import ply_write_pointcloud_native
 

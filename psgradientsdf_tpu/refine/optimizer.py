@@ -544,6 +544,12 @@ class PhotometricRefiner:
                 self.save_poses(f"after_poses_opt_{it}")
                 self._save_artifacts(f"after_iter_{it}")
 
+        # budget exhausted: the reference ends WITHOUT a final save here
+        # (PsOptimizer.cpp:425-427 — only the every-3-iteration dumps
+        # survive); we save the final state anyway so a capped run always
+        # leaves usable artifacts.
+        self.metrics.log("budget_exhausted", iter=it)
+        self._save_artifacts("final_refined")
         return False
 
     # ------------------------------------------------------------ upsample

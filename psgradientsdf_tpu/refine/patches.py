@@ -23,10 +23,16 @@ with BOTH axes edge-replicated exactly like ops/image.py's per-index clip
 Measured on TPU v5e: 6x faster than the separate-gather path at
 [N=32k, F=20] (13.6 ms vs 82 ms).
 
-`sample_patch_all` then evaluates the identical arithmetic as
-ops/image.py `bilinear_rgb` / `image_gradient_rgb` on the patch (same
-border fallbacks, same operation order) — validated for exact equality in
-tests/test_patches.py.
+`sample_patch_all` evaluates the identical arithmetic as ops/image.py
+`bilinear_rgb` / `image_gradient_rgb` on the patch (same border fallbacks,
+same operation order) — validated for exact equality in tests/test_patches.py.
+
+Memory: when the all-frames span table would be large (megapixel keyframe
+sets — e.g. sokrates: 34 x 1709x1139 = a 2.4 GB table, several of which
+OOM a 16 GB chip; worse, a scan-carried patch tensor picks a pathologically
+padded layout, 57x expansion), `sample_patch_all` switches to a per-frame
+lax.scan that keeps exactly ONE [H*W, 9] span table live and emits only the
+small [N,3]-shaped per-frame results.
 """
 
 from __future__ import annotations
@@ -35,6 +41,9 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+# all-frames span tables above this size take the per-frame scan path
+_SPAN_BYTES_LIMIT = 512 * 1024 * 1024
 
 
 def build_span(images: jax.Array) -> jax.Array:
@@ -64,17 +73,13 @@ def fetch_patches(images: jax.Array, uv: jax.Array) -> jax.Array:
     return P.reshape(P.shape[:-1] + (3, 3))              # [N,F,3,3,3]
 
 
-def sample_patch_all(
-    images: jax.Array,     # [F,H,W,3]
-    uv: jax.Array,         # [N,F,2] (col,row)
-) -> Tuple[jax.Array, jax.Array]:
-    """One fused fetch -> (intensity [N,F,3], image gradients [N,F,3,2]).
+def _patch_math(P: jax.Array, uv: jax.Array, H: int, W: int
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Bilinear intensity + image gradients from a 3x3 patch.
 
-    Bitwise-identical to ops.image.bilinear_rgb / image_gradient_rgb at
-    every in-image coordinate (out-of-image pairs are masked by callers)."""
-    H, W = images.shape[1], images.shape[2]
-    P = fetch_patches(images, uv)
-
+    P [..., 3(row), 3(col), 3(ch)], uv [..., 2] -> (I [..., 3],
+    g [..., 3, 2]).  Bitwise-identical to ops.image.bilinear_rgb /
+    image_gradient_rgb at every in-image coordinate."""
     r0 = jnp.floor(uv[..., 1]).astype(jnp.int32)
     c0 = jnp.floor(uv[..., 0]).astype(jnp.int32)
     fr = (uv[..., 1] - r0.astype(uv.dtype))[..., None]
@@ -125,3 +130,29 @@ def sample_patch_all(
     )
 
     return I, jnp.stack([gu, gv], axis=-1)
+
+
+def sample_patch_all(
+    images: jax.Array,     # [F,H,W,3]
+    uv: jax.Array,         # [N,F,2] (col,row)
+) -> Tuple[jax.Array, jax.Array]:
+    """One fused fetch -> (intensity [N,F,3], image gradients [N,F,3,2])."""
+    F, H, W = images.shape[0], images.shape[1], images.shape[2]
+    if F * H * W * 9 * 4 <= _SPAN_BYTES_LIMIT:
+        P = fetch_patches(images, uv)
+        return _patch_math(P, uv, H, W)
+
+    # memory-bounded path: per-frame scan — one span table live at a time,
+    # and only the SMALL per-frame results (never the patch tensor, whose
+    # scan-carried layout pads 57x) cross the scan boundary.  Matches the
+    # vmap path to 1 ulp (different fusion order).
+    def per_frame(_, inp):
+        img_f, uv_f = inp                                # [H,W,3], [N,2]
+        P_f = fetch_patches(img_f[None], uv_f[:, None, :])[:, 0]  # [N,3,3,3]
+        I_f, g_f = _patch_math(P_f, uv_f, H, W)          # [N,3], [N,3,2]
+        return None, (I_f, g_f)
+
+    _, (I, g) = jax.lax.scan(
+        per_frame, None, (images, jnp.moveaxis(uv, 1, 0))
+    )                                                    # [F,N,3], [F,N,3,2]
+    return jnp.moveaxis(I, 0, 1), jnp.moveaxis(g, 0, 1)

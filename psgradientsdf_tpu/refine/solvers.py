@@ -370,8 +370,12 @@ def solve_joint_dist_pose(
     H_pp = H_pp + 1e-8 * jnp.eye(6, dtype=H_pp.dtype)
     g_p = jnp.einsum("nfc,nfcb,nfc->fb", wm, J_c, rd.r)
 
+    # factor the constant SPD pose blocks ONCE (hpp_solve runs inside every
+    # CG matvec); cho_factor/cho_solve batch over the frame axis
+    chol_pp = jax.scipy.linalg.cho_factor(H_pp)
+
     def hpp_solve(y):                                    # [F,6] -> [F,6]
-        return jnp.linalg.solve(H_pp, y[..., None])[..., 0]
+        return jax.scipy.linalg.cho_solve(chol_pp, y[..., None])[..., 0]
 
     def hpd_mv(x):                                       # [N] -> [F,6]
         Jdx = stencil_apply(x, DJ.J0, DJ.Ji, prob.nbr_idx)   # [N,F,3]

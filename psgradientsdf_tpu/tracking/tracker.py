@@ -31,7 +31,7 @@ from psgradientsdf_tpu.core.volume import (
     GradSdfVolume,
     pack_tracking_payload,
     sdf_query,
-    sdf_query_packed,
+    sdf_records_packed,
 )
 from psgradientsdf_tpu.utils import se3
 
@@ -146,15 +146,7 @@ def track_frame(
         R = pose[:3, :3]
         t = pose[:3, 3]
         p_w = pts_cam @ R.T + t
-        idx, valid = geom.nearest_info(p_w)
-        X, Y = geom.dims[0], geom.dims[1]
-        lin = (idx[..., 2] * Y + idx[..., 1]) * X + idx[..., 0]
-        rows = jnp.take(payload, lin, axis=0)
-        d = rows[..., 0]
-        g = rows[..., 1:4]
-        w = rows[..., 4]
-        ghat = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
-        c_v = geom.voxel2world(idx)
+        d, ghat, c_v, w, valid = sdf_records_packed(payload, geom, p_w)
         ok = valid & (w > 0.0) & valid_z
         return d, ghat, c_v, ok
 

@@ -47,3 +47,28 @@ def test_patch_equals_image_ops_borders():
     # W-1.0 / H-1.0 exactly at the far edge is in-image in the reference's
     # convention (m < cols); keep them
     _check(images, uv)
+
+
+def test_sample_patch_scan_path_bitexact():
+    """The memory-bounded per-frame scan path (used when the all-frames span
+    table would exceed _SPAN_BYTES_LIMIT — megapixel keyframe sets) matches
+    the all-frames vmap path to 1 ulp (different fusion order)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import psgradientsdf_tpu.refine.patches as P
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((3, 40, 50, 3), np.float32))
+    uv = jnp.asarray(np.stack(
+        [rng.uniform(-1, 52, (100, 3)), rng.uniform(-1, 42, (100, 3))], -1
+    ).astype(np.float32))
+    uv = jnp.clip(uv, 0.0, jnp.asarray([49.0, 39.0]))
+    Ia, ga = P.sample_patch_all(imgs, uv)
+    old = P._SPAN_BYTES_LIMIT
+    try:
+        P._SPAN_BYTES_LIMIT = 0
+        Ib, gb = P.sample_patch_all(imgs, uv)
+    finally:
+        P._SPAN_BYTES_LIMIT = old
+    assert np.allclose(np.asarray(Ia), np.asarray(Ib), atol=1e-6)
+    assert np.allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
