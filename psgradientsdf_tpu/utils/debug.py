@@ -144,3 +144,12 @@ def save_normal_map(path: str, *args, **kwargs) -> Optional[str]:
         fn = path + "normal_map.npy"
         np.save(fn, img)
         return fn
+
+
+def check_nan(arr, name: str = "") -> bool:
+    """True iff `arr` contains NaN, printing a notice when it does
+    (Auxilary.h:22-26 checkNan)."""
+    bad = bool(np.isnan(np.asarray(arr)).any())
+    if bad:
+        print(f"checkNan: {name or 'array'} contains NaN")
+    return bad
