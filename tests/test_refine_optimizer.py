@@ -241,3 +241,39 @@ def test_joint_dp_step_reduces_energy():
     tot1 = e[0] + 0.5 * e[1]
     assert np.isfinite(tot1)
     assert tot1 < tot0, (tot0, tot1)
+
+
+def test_sh2_alternating_optimize_reduces_energy():
+    """End-to-end SH order-2: alternating refinement runs and reduces the
+    photometric energy (9-coefficient lights, order-2 dSH/dn in the
+    distance Jacobian — PsOptimizerJa.cpp:17-28,253-289)."""
+    from psgradientsdf_tpu.config import SH2
+    from helpers import wavy_scene, shaded_images
+
+    poses = [jnp.eye(4, dtype=jnp.float32)]
+    for i in range(1, 3):
+        xi = 0.015 * jnp.asarray(np.random.RandomState(i).randn(6).astype(np.float32))
+        poses.append(se3.se3_exp(xi))
+    sc = wavy_scene(dim=48, h=0.03, H=64, W=64, f=60.0, poses=poses)
+    light_gt = jnp.array(
+        [0.1, 0.25, -0.2, 0.8, 0.05, -0.03, 0.04, 0.02, -0.05], dtype=jnp.float32)
+    images = shaded_images(sc["frames"], light_gt, order=2)
+
+    cfg = OptimizerConfig(
+        max_it=3, conv_threshold=1e-8, damping=1.0, lam=0.2,
+        reg_weight_n=1.0, reg_weight_l=0.0, reg_weight_rho=0.0,
+        order=2, model=SH2, loss=robust.CAUCHY,
+    )
+    ref = PhotometricRefiner(
+        sc["vol"], sc["geom"], cfg, np.asarray(sc["K"]),
+        save_path="", truncation=sc["truncation"],
+    )
+    ref.set_keyframes(images, jnp.stack(poses), list(range(3)))
+    ref.init()
+    assert ref.lights.shape == (3, 9)
+    ref.init_albedo()
+    E0 = ref.energies()[0]
+    ref.alternating_optimize(light=True, albedo=True, distance=True, pose=True)
+    E1 = ref.energies()[0]
+    assert np.isfinite(E1)
+    assert E1 < E0, (E0, E1)
