@@ -171,25 +171,32 @@ def run_tpu() -> dict:
     # NOTE the axon runtime memoizes executions with identical input
     # buffers — the warmup chain uses a DIFFERENT offset so every timed
     # execution is distinct from every warmed one.
+    CHUNK = 10
+
     @jax.jit
-    def step_frame(vol, pose, fid, off_m):
-        seed = off_m @ pose
-        # frozen-correspondence round (see track_kw): the hot voxel gather
-        # runs once per frame; validated to converge to the reference pose
-        # (tests/test_tracker.py::test_tracker_regather_*)
-        res = track_frame(vol, geom, depth, K, seed, **track_kw)
-        vol = fuse_frame(
-            vol, geom, color, depth, normals, nsq, K, res.pose, fid, **fuse_kw
-        )
-        return vol, res.pose, res.iterations
+    def step_chunk(vol, pose, iters, off_m):
+        # one executable per CHUNK frames (the chunked stream-executor
+        # dispatch granularity): per frame, a frozen-correspondence GN
+        # round (the hot voxel gather runs once; validated to converge to
+        # the reference pose — tests/test_tracker.py::test_tracker_regather_*)
+        # then fusion at the tracked pose.
+        def body(k, carry):
+            vol, pose, iters = carry
+            seed = off_m @ pose
+            res = track_frame(vol, geom, depth, K, seed, **track_kw)
+            vol = fuse_frame(
+                vol, geom, color, depth, normals, nsq, K, res.pose,
+                jnp.int32(1) + k % 60, **fuse_kw
+            )
+            return vol, res.pose, iters + res.iterations
+        return jax.lax.fori_loop(0, CHUNK, body, (vol, pose, iters))
 
     def run_frames(vol, off_m):
         pose = eye
-        its = []
-        for f in range(FRAMES_TPU):
-            vol, pose, it = step_frame(vol, pose, jnp.int32(1 + f % 60), off_m)
-            its.append(it)
-        return vol, its
+        iters = jnp.int32(0)
+        for c in range(FRAMES_TPU // CHUNK):
+            vol, pose, iters = step_chunk(vol, pose, iters, off_m)
+        return vol, iters
 
     off_warm = jnp.asarray(off_np @ off_np)       # distinct warmup inputs
     volw, _ = run_frames(vol, off_warm)           # compile + warm the chain
@@ -199,7 +206,7 @@ def run_tpu() -> dict:
     _ = float(jnp.sum(vol.dist))                  # real completion fence
     dt = time.perf_counter() - t0
     fps = FRAMES_TPU / dt
-    iters = int(np.sum([int(i) for i in its]))
+    iters = int(its)
 
     # fixed-budget GN iteration rate (no early exit) for iters/s; every rep
     # gets a distinct seed pose (execution memoization — see above)

@@ -277,3 +277,28 @@ def test_sh2_alternating_optimize_reduces_energy():
     E1 = ref.energies()[0]
     assert np.isfinite(E1)
     assert E1 < E0, (E0, E1)
+
+
+def test_ablation_flags_all_false_converges_immediately():
+    """main_ps.cpp:79-82 ablation booleans: with every block disabled the
+    alternating loop makes no updates and exits on the first convergence
+    check (rel-dE = 0)."""
+    ref, _ = build_refiner()
+    d0, a0, p0 = ref.dist, ref.albedo, ref.poses
+    ok = ref.alternating_optimize(light=False, albedo=False,
+                                  distance=False, pose=False)
+    assert ok  # converged (rel_diff == 0 at iter 0)
+    assert np.array_equal(np.asarray(ref.dist), np.asarray(d0))
+    assert np.array_equal(np.asarray(ref.poses), np.asarray(p0))
+
+
+def test_ablation_single_block():
+    """Only-albedo ablation touches albedo and nothing else."""
+    ref, light_gt = build_refiner()
+    ref.lights = jnp.broadcast_to(light_gt, ref.lights.shape)
+    d0, p0, l0 = ref.dist, ref.poses, ref.lights
+    ref.cfg.max_it = 2
+    ref.alternating_optimize(light=False, albedo=True, distance=False, pose=False)
+    assert np.array_equal(np.asarray(ref.dist), np.asarray(d0))
+    assert np.array_equal(np.asarray(ref.poses), np.asarray(p0))
+    assert np.array_equal(np.asarray(ref.lights), np.asarray(l0))
