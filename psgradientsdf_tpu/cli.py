@@ -38,25 +38,24 @@ def main(argv=None) -> int:
                          "SURVEY §5.1 — replaces the reference's tic/toc-"
                          "only instrumentation)")
     ap.add_argument("--compile-cache", default="", metavar="DIR",
-                    help="persistent XLA compilation cache directory: the "
-                         "~30-45 s/program compile tax (the bulk of a demo "
-                         "run's wall clock on tunneled TPUs) is paid once "
-                         "and reruns hit the cache (measured 84 s -> 1.6 s)")
+                    help="persistent XLA compilation cache for the "
+                         "refinement phase: its block programs' ~30-45 s "
+                         "compile tax (the bulk of a demo run's wall clock "
+                         "on tunneled TPUs) is paid once; reruns hit the "
+                         "cache (sokrates refine wall 244 s -> 61 s)")
     args = ap.parse_args(argv)
 
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
-    if args.compile_cache:
-        import jax
-        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     print(f"load the config file from: {args.config_file}")
     cfg = load_config(args.config_file)
+    # the cache is enabled by the pipeline at the refinement phase only —
+    # see ReconstructionPipeline.run for the measured why
     pipe = ReconstructionPipeline(cfg, checkpoint_every=args.checkpoint_every,
-                                  resume=args.resume)
+                                  resume=args.resume,
+                                  compile_cache_dir=args.compile_cache)
     import contextlib
     if args.profile:
         import jax

@@ -79,10 +79,12 @@ class ReconstructionPipeline:
 
     def __init__(self, cfg: PipelineConfig, loader: Optional[ImageLoader] = None,
                  metrics: Optional[MetricsLogger] = None, prefetch: bool = True,
-                 checkpoint_every: int = 0, resume: str = ""):
+                 checkpoint_every: int = 0, resume: str = "",
+                 compile_cache_dir: str = ""):
         self.cfg = cfg
         self.checkpoint_every = checkpoint_every
         self.resume = resume
+        self.compile_cache_dir = compile_cache_dir
         base = loader or make_loader(cfg.tracking.datatype, cfg.tracking.input)
         # decode-ahead workers hide PNG decode behind device compute; raw mode
         # ships uint8/uint16 over the wire (3.7x less host->device transfer,
@@ -306,6 +308,19 @@ class ReconstructionPipeline:
         )
 
         if refine and key_images:
+            if self.compile_cache_dir:
+                # persistent XLA cache, enabled only now: the refinement
+                # block programs hit it reliably (first calls 32-45 s ->
+                # 1.5-3.3 s, refine wall 244 -> 61 s on the sokrates demo),
+                # while the megapixel scan program misses it on the axon
+                # backend AND compiles far slower under cache writing
+                # (42 -> 265-333 s) — so the scan runs uncached.
+                import jax as _jax
+                _jax.config.update("jax_compilation_cache_dir",
+                                   self.compile_cache_dir)
+                _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+                _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+                self.metrics.log("compile_cache", dir=self.compile_cache_dir)
             key_indices, key_stamps, key_images, key_poses = sample_keyframes(
                 key_indices, key_stamps, key_images, key_poses,
                 self.cfg.tpu.keyframe_cap,
