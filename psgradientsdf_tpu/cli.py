@@ -43,6 +43,12 @@ def main(argv=None) -> int:
                          "compile tax (the bulk of a demo run's wall clock "
                          "on tunneled TPUs) is paid once; reruns hit the "
                          "cache (sokrates refine wall 244 s -> 61 s)")
+    ap.add_argument("--retries", type=int, default=0, metavar="N",
+                    help="elastic recovery: on a runtime failure (device "
+                         "drop, tunnel error) retry the run up to N times, "
+                         "resuming from the latest scan checkpoint when "
+                         "--checkpoint-every produced one (SURVEY §5.3 — "
+                         "the reference restarts from scratch)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -51,19 +57,41 @@ def main(argv=None) -> int:
 
     print(f"load the config file from: {args.config_file}")
     cfg = load_config(args.config_file)
-    # the cache is enabled by the pipeline at the refinement phase only —
-    # see ReconstructionPipeline.run for the measured why
-    pipe = ReconstructionPipeline(cfg, checkpoint_every=args.checkpoint_every,
-                                  resume=args.resume,
-                                  compile_cache_dir=args.compile_cache)
+
     import contextlib
     if args.profile:
         import jax
         trace_ctx = jax.profiler.trace(args.profile)
     else:
         trace_ctx = contextlib.nullcontext()
+
+    import os as _os
+    import time as _time
+
+    resume = args.resume
+    attempt = 0
     with trace_ctx:
-        summary = pipe.run(refine=not args.no_refine)
+        while True:
+            # the compile cache is enabled by the pipeline at the
+            # refinement phase only — see ReconstructionPipeline.run
+            pipe = ReconstructionPipeline(
+                cfg, checkpoint_every=args.checkpoint_every, resume=resume,
+                compile_cache_dir=args.compile_cache)
+            try:
+                summary = pipe.run(refine=not args.no_refine)
+                break
+            except Exception as e:  # elastic recovery (SURVEY §5.3)
+                attempt += 1
+                if attempt > args.retries:
+                    raise
+                ckpt = _os.path.join(cfg.tracking.output, "scan_checkpoint.npz")
+                resume = ckpt if _os.path.exists(ckpt) else args.resume
+                print(f"run failed ({type(e).__name__}: {e}); retry "
+                      f"{attempt}/{args.retries}"
+                      + (f" resuming from {resume}" if resume else
+                         " from scratch"))
+                backoff = float(_os.environ.get("PSGSDF_RETRY_BACKOFF", "30"))
+                _time.sleep(min(backoff * attempt, 120.0))
     summary_small = {k: v for k, v in summary.items() if k != "track_log"}
     print(json.dumps(summary_small, default=float))
     if args.summary_json:
