@@ -51,12 +51,19 @@ def image_pi_grad(
     z = rd.p_cam[..., 2]
     z_inv = 1.0 / jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
     z_inv_sq = z_inv * z_inv
-    # pi_grad [N,F,2,3]
-    zero = jnp.zeros_like(z)
-    row_u = jnp.stack([fx * z_inv, zero, -fx * rd.p_cam[..., 0] * z_inv_sq], axis=-1)
-    row_v = jnp.stack([zero, fy * z_inv, -fy * rd.p_cam[..., 1] * z_inv_sq], axis=-1)
-    pi = jnp.stack([row_u, row_v], axis=-2)
-    return jnp.einsum("nfcg,nfgx->nfcx", g_img, pi)
+    # G[...,c,:] = gu*row_u + gv*row_v with row_u = [fx/z, 0, -fx*px/z^2],
+    # row_v = [0, fy/z, -fy*py/z^2] — expanded directly (a materialized
+    # [N,F,2,3] pi intermediate pads 42x on TPU: trailing dim 3 -> 128
+    # lanes; at the upsampled sokrates scale that copy alone was 18 GB)
+    gu = g_img[..., 0]                                # [N,F,3]
+    gv = g_img[..., 1]
+    gx = gu * (fx * z_inv)[..., None]
+    gy = gv * (fy * z_inv)[..., None]
+    gz = -(
+        gu * (fx * rd.p_cam[..., 0] * z_inv_sq)[..., None]
+        + gv * (fy * rd.p_cam[..., 1] * z_inv_sq)[..., None]
+    )
+    return jnp.stack([gx, gy, gz], axis=-1)
 
 
 def pose_jacobian_sh(
