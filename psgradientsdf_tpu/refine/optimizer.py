@@ -149,6 +149,28 @@ def _dist_block(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
     return solvers.update_distance(prob, dist, delta, voxel_size)
 
 
+# above this many surface voxels the pose normal equations accumulate over
+# N-chunks: the pose Jacobian's [N,F,3,3]/[N,F,3,6] intermediates carry
+# trailing small dims that XLA pads to (8,128) tiles in inserted copies
+# (21-43x) — at the upsampled sokrates scale (N=524k, F=34) a single such
+# copy is 18-37 GB. Chunking bounds every intermediate to the chunk size.
+_POSE_CHUNK = 32768
+
+
+def _pose_normal_eqs(rd_chunk, K, poses, albedo_c, grad_c, lights, model):
+    """(H [F,6,6], g [F,6]) partial sums for one N-chunk."""
+    G = jacobians.image_pi_grad(None, rd_chunk, K)
+    if model == LED:
+        J_c = jacobians.pose_jacobian_led(G, rd_chunk, poses, albedo_c,
+                                          grad_c, lights)
+    else:
+        J_c = jacobians.pose_jacobian_sh(G, rd_chunk, poses)
+    w = rd_chunk.w
+    H = jnp.einsum("nfc,nfcb,nfcd->fbd", w, J_c, J_c)
+    g = jnp.einsum("nfc,nfcb,nfc->fb", w, J_c, rd_chunk.r)
+    return H, g
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("geom", "model", "order", "loss", "lam", "voxel_size", "damping"),
@@ -159,12 +181,31 @@ def _pose_block(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
         prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
         model=model, order=order, loss=loss, lam=lam, voxel_size=voxel_size,
     )
-    G = jacobians.image_pi_grad(images, rd, K)
-    if model == LED:
-        J_c = jacobians.pose_jacobian_led(G, rd, poses, albedo, grad_stored, lights)
+    N = rd.r.shape[0]
+    if N > _POSE_CHUNK and N % _POSE_CHUNK == 0:
+        C = N // _POSE_CHUNK
+
+        def resh(a):
+            return a.reshape((C, _POSE_CHUNK) + a.shape[1:])
+
+        rd_chunks = render.ResidualData(
+            r=resh(rd.r), w=resh(rd.w), mask=resh(rd.mask),
+            p_cam=resh(rd.p_cam), uv=resh(rd.uv), g_img=resh(rd.g_img),
+        )
+        alb_chunks = resh(albedo)
+        grad_chunks = resh(grad_stored)
+
+        def body(args):
+            rdc, albc, gradc = args
+            return _pose_normal_eqs(rdc, K, poses, albc, gradc, lights, model)
+
+        H_parts, g_parts = jax.lax.map(
+            body, (rd_chunks, alb_chunks, grad_chunks))
+        H = jnp.sum(H_parts, axis=0)
+        g = jnp.sum(g_parts, axis=0)
     else:
-        J_c = jacobians.pose_jacobian_sh(G, rd, poses)
-    delta = solvers.solve_pose(rd, J_c, damping)
+        H, g = _pose_normal_eqs(rd, K, poses, albedo, grad_stored, lights, model)
+    delta = solvers.solve_pose_from_normal_eqs(H, g, damping)
     return solvers.update_poses(poses, delta)
 
 

@@ -53,8 +53,14 @@ class RefineProblem(NamedTuple):
 
 
 def _pad_cap(n: int, minimum: int = 1024) -> int:
+    """Padded capacity: next power of two, or 1.5x a power of two when that
+    suffices — pure pow2 rounding wastes up to 2x memory on the [N,F,...]
+    residual tensors, which matters after the 8x upsample (e.g. 329k surface
+    voxels -> 393k instead of 524k)."""
     cap = minimum
     while cap < n:
+        if n <= cap * 3 // 2:
+            return cap * 3 // 2
         cap *= 2
     return cap
 

@@ -529,17 +529,23 @@ def solve_light_led(rd: ResidualData, J_l: jax.Array, damping: float) -> jax.Arr
 
 # ---------------------------------------------------------------- pose solve
 
-def solve_pose(rd: ResidualData, J_c: jax.Array, damping: float) -> jax.Array:
-    """Per-frame 6x6 solves (poseJacobian + CG, PsOptimizer.cpp:207-234;
-    block-diagonal -> exact). J_c [N,F,3,6]; returns delta_xi [F,6]."""
-    w = rd.w
-    H = jnp.einsum("nfc,nfcb,nfcd->fbd", w, J_c, J_c)
-    g = jnp.einsum("nfc,nfcb,nfc->fb", w, J_c, rd.r)
+def solve_pose_from_normal_eqs(H: jax.Array, g: jax.Array, damping: float) -> jax.Array:
+    """Per-frame 6x6 solves given assembled normal equations H [F,6,6],
+    g [F,6] (poseJacobian + CG, PsOptimizer.cpp:207-234; block-diagonal ->
+    exact). Returns delta_xi [F,6]."""
     diag = jnp.diagonal(H, axis1=-2, axis2=-1)
     # multiplicative damping on the diagonal (PsOptimizer.cpp:103-105)
     H = H.at[..., jnp.arange(6), jnp.arange(6)].add(damping * diag)
     jitter = 1e-8 * jnp.eye(6, dtype=H.dtype)
     return jnp.linalg.solve(H + jitter, g[..., None])[..., 0]
+
+
+def solve_pose(rd: ResidualData, J_c: jax.Array, damping: float) -> jax.Array:
+    """Per-frame 6x6 solves (poseJacobian + CG). J_c [N,F,3,6]."""
+    w = rd.w
+    H = jnp.einsum("nfc,nfcb,nfcd->fbd", w, J_c, J_c)
+    g = jnp.einsum("nfc,nfcb,nfc->fb", w, J_c, rd.r)
+    return solve_pose_from_normal_eqs(H, g, damping)
 
 
 def update_poses(poses: jax.Array, delta_xi: jax.Array) -> jax.Array:

@@ -302,3 +302,21 @@ def test_ablation_single_block():
     assert np.array_equal(np.asarray(ref.dist), np.asarray(d0))
     assert np.array_equal(np.asarray(ref.poses), np.asarray(p0))
     assert np.array_equal(np.asarray(ref.lights), np.asarray(l0))
+
+
+def test_pose_block_chunked_matches_full():
+    """N-chunked pose normal-equation accumulation (memory-bounded path for
+    post-upsample problem sizes) is bit-exact with the full computation."""
+    import psgradientsdf_tpu.refine.optimizer as O
+
+    ref, _ = build_refiner()
+    N = int(ref.prob.dist.shape[0])
+    old = O._POSE_CHUNK
+    try:
+        p_ref = O._pose_block(*ref._args(), **ref._static_kwargs(), damping=1.0)
+        O._POSE_CHUNK = max(N // 4, 1)
+        assert N % O._POSE_CHUNK == 0
+        p_chunk = O._pose_block(*ref._args(), **ref._static_kwargs(), damping=1.0)
+    finally:
+        O._POSE_CHUNK = old
+    assert np.allclose(np.asarray(p_ref), np.asarray(p_chunk), atol=1e-6)
