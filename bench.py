@@ -174,7 +174,7 @@ def run_tpu() -> dict:
     CHUNK = 10
 
     @jax.jit
-    def step_chunk(vol, pose, iters, off_m):
+    def step_chunk(vol, pose, iters, fid0, off_m):
         # one executable per CHUNK frames (the chunked stream-executor
         # dispatch granularity): per frame, a frozen-correspondence GN
         # round (the hot voxel gather runs once; validated to converge to
@@ -186,7 +186,7 @@ def run_tpu() -> dict:
             res = track_frame(vol, geom, depth, K, seed, **track_kw)
             vol = fuse_frame(
                 vol, geom, color, depth, normals, nsq, K, res.pose,
-                jnp.int32(1) + k % 60, **fuse_kw
+                jnp.int32(1) + (fid0 + k) % 60, **fuse_kw
             )
             return vol, res.pose, iters + res.iterations
         return jax.lax.fori_loop(0, CHUNK, body, (vol, pose, iters))
@@ -195,7 +195,8 @@ def run_tpu() -> dict:
         pose = eye
         iters = jnp.int32(0)
         for c in range(FRAMES_TPU // CHUNK):
-            vol, pose, iters = step_chunk(vol, pose, iters, off_m)
+            vol, pose, iters = step_chunk(vol, pose, iters,
+                                          jnp.int32(c * CHUNK), off_m)
         return vol, iters
 
     off_warm = jnp.asarray(off_np @ off_np)       # distinct warmup inputs

@@ -70,6 +70,10 @@ def main(argv=None) -> int:
 
     resume = args.resume
     attempt = 0
+    t_start = _time.time()
+    # deterministic setup/config errors are never worth retrying
+    _NO_RETRY = (FileNotFoundError, ValueError, KeyError, TypeError,
+                 NotImplementedError)
     with trace_ctx:
         while True:
             # the compile cache is enabled by the pipeline at the
@@ -80,12 +84,26 @@ def main(argv=None) -> int:
             try:
                 summary = pipe.run(refine=not args.no_refine)
                 break
+            except _NO_RETRY:
+                raise
             except Exception as e:  # elastic recovery (SURVEY §5.3)
                 attempt += 1
                 if attempt > args.retries:
                     raise
+                if args.compile_cache:
+                    # the failed attempt may have enabled the refinement-
+                    # phase cache; the retry's scan must run uncached
+                    import jax
+                    jax.config.update("jax_compilation_cache_dir", None)
+                # resume only from a checkpoint THIS run wrote — a stale
+                # scan_checkpoint.npz from an earlier run in the same
+                # output dir must not leak into this one
                 ckpt = _os.path.join(cfg.tracking.output, "scan_checkpoint.npz")
-                resume = ckpt if _os.path.exists(ckpt) else args.resume
+                if (args.checkpoint_every > 0 and _os.path.exists(ckpt)
+                        and _os.path.getmtime(ckpt) >= t_start):
+                    resume = ckpt
+                else:
+                    resume = args.resume
                 print(f"run failed ({type(e).__name__}: {e}); retry "
                       f"{attempt}/{args.retries}"
                       + (f" resuming from {resume}" if resume else

@@ -182,16 +182,18 @@ def _pose_block(prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
         model=model, order=order, loss=loss, lam=lam, voxel_size=voxel_size,
     )
     N = rd.r.shape[0]
-    if N > _POSE_CHUNK and N % _POSE_CHUNK == 0:
-        C = N // _POSE_CHUNK
+    # largest power-of-two chunk <= _POSE_CHUNK dividing N (capacities are
+    # 2^k or 3*2^(k-1), so a pow2 divisor >= N/3 always exists)
+    chunk = _POSE_CHUNK
+    while chunk > 1 and N % chunk != 0:
+        chunk //= 2
+    if N > _POSE_CHUNK and chunk > 1:
+        C = N // chunk
 
         def resh(a):
-            return a.reshape((C, _POSE_CHUNK) + a.shape[1:])
+            return a.reshape((C, chunk) + a.shape[1:])
 
-        rd_chunks = render.ResidualData(
-            r=resh(rd.r), w=resh(rd.w), mask=resh(rd.mask),
-            p_cam=resh(rd.p_cam), uv=resh(rd.uv), g_img=resh(rd.g_img),
-        )
+        rd_chunks = jax.tree_util.tree_map(resh, rd)
         alb_chunks = resh(albedo)
         grad_chunks = resh(grad_stored)
 

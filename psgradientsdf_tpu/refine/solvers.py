@@ -540,13 +540,6 @@ def solve_pose_from_normal_eqs(H: jax.Array, g: jax.Array, damping: float) -> ja
     return jnp.linalg.solve(H + jitter, g[..., None])[..., 0]
 
 
-def solve_pose(rd: ResidualData, J_c: jax.Array, damping: float) -> jax.Array:
-    """Per-frame 6x6 solves (poseJacobian + CG). J_c [N,F,3,6]."""
-    w = rd.w
-    H = jnp.einsum("nfc,nfcb,nfcd->fbd", w, J_c, J_c)
-    g = jnp.einsum("nfc,nfcb,nfc->fb", w, J_c, rd.r)
-    return solve_pose_from_normal_eqs(H, g, damping)
-
 
 def update_poses(poses: jax.Array, delta_xi: jax.Array) -> jax.Array:
     """t -= xi_t;  R <- R exp(-xi_w)  (OptimizerAux.cpp:190-205)."""

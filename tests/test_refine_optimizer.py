@@ -306,17 +306,25 @@ def test_ablation_single_block():
 
 def test_pose_block_chunked_matches_full():
     """N-chunked pose normal-equation accumulation (memory-bounded path for
-    post-upsample problem sizes) is bit-exact with the full computation."""
+    post-upsample problem sizes) matches the full computation.
+
+    Calls the UNJITTED function (__wrapped__): mutating the module-level
+    _POSE_CHUNK does not invalidate jax.jit's trace cache, so going through
+    the jitted entry point would silently compare the cached full path with
+    itself."""
     import psgradientsdf_tpu.refine.optimizer as O
 
     ref, _ = build_refiner()
     N = int(ref.prob.dist.shape[0])
     old = O._POSE_CHUNK
     try:
-        p_ref = O._pose_block(*ref._args(), **ref._static_kwargs(), damping=1.0)
-        O._POSE_CHUNK = max(N // 4, 1)
+        O._POSE_CHUNK = 1 << 30          # force the full path
+        p_ref = O._pose_block.__wrapped__(
+            *ref._args(), **ref._static_kwargs(), damping=1.0)
+        O._POSE_CHUNK = max(N // 4, 1)   # force the chunked path
         assert N % O._POSE_CHUNK == 0
-        p_chunk = O._pose_block(*ref._args(), **ref._static_kwargs(), damping=1.0)
+        p_chunk = O._pose_block.__wrapped__(
+            *ref._args(), **ref._static_kwargs(), damping=1.0)
     finally:
         O._POSE_CHUNK = old
     assert np.allclose(np.asarray(p_ref), np.asarray(p_chunk), atol=1e-6)
