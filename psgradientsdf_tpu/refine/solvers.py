@@ -358,6 +358,12 @@ def solve_joint_dist_pose(
 
     Returns (delta_d [N], delta_xi [F,6]); both blocks use the reference's
     subtract-delta update convention.
+
+    Memory note: this solve holds the full [N,F,3,6] pose Jacobian across
+    the CG loop; at post-upsample problem sizes (N > ~300k with many
+    megapixel keyframes) XLA's trailing-small-dim tile padding can make
+    its copies exceed HBM — use the alternating blocks there (the pose
+    block chunks over N; chunking the Schur cross-terms is future work).
     """
     w = rd.w                                             # [N,F,3]
     wm = jnp.where(prob.valid[:, None, None], w, 0.0)

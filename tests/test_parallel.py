@@ -234,3 +234,30 @@ def test_512cube_sharded_programs_compile(mesh8):
         num_iterations=3, conv_threshold_sq=1e-12, damping=1.0)
     trk.lower(vol_in, b, jax.ShapeDtypeStruct((3, 3), jnp.float32),
               jax.ShapeDtypeStruct((4, 4), jnp.float32)).compile()
+
+
+def test_sharded_led_blocks_match(mesh8, scene):
+    """LED-model refinement blocks under GSPMD sharding == single device
+    (near-field Jacobians reduce over the sharded voxel axis)."""
+    geom, vol, K, T = scene["geom"], scene["vol"], scene["K"], scene["truncation"]
+    prob = extract_problem(vol, geom, [0])
+    images = jnp.stack([scene["frames"][0]["color"]])
+    poses = jnp.eye(4, dtype=jnp.float32)[None]
+    lights = jnp.array([1.4, 1.2, 1.1], dtype=jnp.float32)   # global RGB LED
+    kw = dict(model="LED", order=1, loss=1, lam=0.2, voxel_size=geom.voxel_size)
+
+    args = (prob, geom, prob.dist, prob.albedo, prob.grad_stored, poses, images,
+            K, lights)
+    d_ref, g_ref = _dist_block(*args, **kw, reg_weight_n=0.5, reg_weight_l=0.0,
+                               damping=1.0, laplacian_diag_only=False)
+    p_ref = _pose_block(*args, **kw, damping=1.0)
+
+    prob_sh, images_sh = shard.shard_refine_arrays(mesh8, prob, images)
+    args_sh = (prob_sh, geom, prob_sh.dist, prob_sh.albedo, prob_sh.grad_stored,
+               poses, images_sh, K, lights)
+    d_sh, g_sh = _dist_block(*args_sh, **kw, reg_weight_n=0.5, reg_weight_l=0.0,
+                             damping=1.0, laplacian_diag_only=False)
+    p_sh = _pose_block(*args_sh, **kw, damping=1.0)
+
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=2e-4)
