@@ -13,7 +13,10 @@
 // Plain C++17, no external deps, -O3, one thread — the reference's own
 // execution model (SURVEY §2.1: its OpenMP variant is not even compiled).
 //
-// Usage: cpp_baseline W H DIM FRAMES  -> prints JSON with per-stage seconds.
+// Usage: cpp_baseline W H DIM FRAMES [dump_path]
+//   -> prints JSON with per-stage seconds; with dump_path, also writes a
+//      binary dump (poses + fused volume) for the cross-implementation
+//      numerical parity test (tests/test_cpp_parity.py).
 
 #include <cmath>
 #include <cstdio>
@@ -142,8 +145,10 @@ int main(int argc, char **argv) {
     const V3 shift = v3(0.f, 0.f, 1.2f);
     const V3 origin = sub(shift, mul(v3(1, 1, 1), 0.5f * h * DIM));
 
-    // synthetic wavy depth + inward normals (same scene as the TPU bench)
-    std::vector<float> depth(W * H);
+    // synthetic wavy depth + inward normals (same scene as the TPU bench);
+    // nsq is the per-pixel cached 1/||ray||^2 exactly like the reference's
+    // NormalEstimator n_sq_inv map (VolumetricGradSdf.cpp:116)
+    std::vector<float> depth(W * H), nsqmap(W * H);
     std::vector<V3> nrm(W * H);
     for (int v = 0; v < H; ++v)
         for (int u = 0; u < W; ++u) {
@@ -157,6 +162,7 @@ int main(int argc, char **argv) {
                         + 0.15f * std::cos(3 * (x0 + y0));
             V3 n = v3(-dgx, -dgy, 1.f);
             nrm[v * W + u] = mul(n, 1.f / norm(n));
+            nsqmap[v * W + u] = 1.f / (1.f + x0 * x0 + y0 * y0);
         }
 
     size_t NV = (size_t)DIM * DIM * DIM;
@@ -183,7 +189,7 @@ int main(int argc, char **argv) {
                     V3 n = nrm[v * W + u];
                     V3 ray = mul(pc, 1.f / pc.z);
                     float d = dot(n, ray);
-                    float nsq = 1.f / dot(ray, ray);
+                    float nsq = nsqmap[v * W + u];
                     if (d * d * nsq < 0.25f * 0.25f) continue;
                     SdfVoxel &vx = vox[lin];
                     vx.weight += w;
@@ -253,18 +259,56 @@ int main(int argc, char **argv) {
 
     double track_s = 0, fuse_s = 0;
     int total_iters = 0;
+    std::vector<float> dump_poses;   // per-frame tracked pose, 4x4 row-major
+    std::vector<int> dump_iters;
     for (int f = 0; f < FRAMES; ++f) {
         // start each frame from a small pose offset (realistic inter-frame motion)
         float xi0[6] = {0.004f, -0.003f, 0.005f, 0.002f, -0.002f, 0.0015f};
         SE3 off = se3exp(xi0);
         SE3 P = {matmul(off.R, pose.R), add(mv(off.R, pose.t), off.t)};
         auto t0 = clk::now();
-        total_iters += track(P);
+        int it = track(P);
+        total_iters += it;
         auto t1 = clk::now();
         fuse(P);
         auto t2 = clk::now();
         track_s += std::chrono::duration<double>(t1 - t0).count();
         fuse_s += std::chrono::duration<double>(t2 - t1).count();
+        dump_iters.push_back(it);
+        const float row[16] = {P.R.m[0], P.R.m[1], P.R.m[2], P.t.x,
+                               P.R.m[3], P.R.m[4], P.R.m[5], P.t.y,
+                               P.R.m[6], P.R.m[7], P.R.m[8], P.t.z,
+                               0.f, 0.f, 0.f, 1.f};
+        dump_poses.insert(dump_poses.end(), row, row + 16);
+    }
+
+    if (argc > 5) {
+        // binary dump for the cross-implementation parity test:
+        // int32 [W H DIM FRAMES], FRAMES*(16 f32 pose + 1 i32 iters),
+        // then dist[NV], weight[NV], grad[NV*3], r[NV] as f32
+        FILE *fp = fopen(argv[5], "wb");
+        if (!fp) { fprintf(stderr, "cannot open %s\n", argv[5]); return 1; }
+        int hdr[4] = {W, H, DIM, FRAMES};
+        fwrite(hdr, sizeof(int), 4, fp);
+        for (int f = 0; f < FRAMES; ++f) {
+            fwrite(&dump_poses[16 * f], sizeof(float), 16, fp);
+            fwrite(&dump_iters[f], sizeof(int), 1, fp);
+        }
+        std::vector<float> buf(NV);
+        for (size_t i = 0; i < NV; ++i) buf[i] = vox[i].dist;
+        fwrite(buf.data(), sizeof(float), NV, fp);
+        for (size_t i = 0; i < NV; ++i) buf[i] = vox[i].weight;
+        fwrite(buf.data(), sizeof(float), NV, fp);
+        std::vector<float> gbuf(NV * 3);
+        for (size_t i = 0; i < NV; ++i) {
+            gbuf[3 * i] = vox[i].grad.x;
+            gbuf[3 * i + 1] = vox[i].grad.y;
+            gbuf[3 * i + 2] = vox[i].grad.z;
+        }
+        fwrite(gbuf.data(), sizeof(float), NV * 3, fp);
+        for (size_t i = 0; i < NV; ++i) buf[i] = vox[i].r;
+        fwrite(buf.data(), sizeof(float), NV, fp);
+        fclose(fp);
     }
 
     double per_frame = (track_s + fuse_s) / FRAMES;

@@ -96,9 +96,11 @@ def fuse_frame(
     in_front = pz > 0.0
 
     safe_z = jnp.where(in_front, pz, 1.0)
-    # nearest-pixel projection with +0.5 rounding (VolumetricGradSdf.cpp:87-88)
-    u = jnp.floor(cx + fx * p_c[..., 0] / safe_z + 0.5).astype(jnp.int32)
-    v = jnp.floor(cy + fy * p_c[..., 1] / safe_z + 0.5).astype(jnp.int32)
+    # nearest-pixel projection with +0.5 rounding via int cast
+    # (VolumetricGradSdf.cpp:87-88 static_cast<int> truncates toward zero,
+    # which accepts the [-0.5, 0) sliver as pixel 0 — floor would not)
+    u = (cx + fx * p_c[..., 0] / safe_z + 0.5).astype(jnp.int32)
+    v = (cy + fy * p_c[..., 1] / safe_z + 0.5).astype(jnp.int32)
     in_img = (u >= 0) & (u < W) & (v >= 0) & (v < H)
     uc = jnp.clip(u, 0, W - 1)
     vc = jnp.clip(v, 0, H - 1)
