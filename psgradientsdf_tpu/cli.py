@@ -28,10 +28,13 @@ def main(argv=None) -> int:
     ap.add_argument("--platform", default="", choices=["", "cpu", "tpu", "gpu", "axon"],
                     help="force a jax platform (e.g. cpu) before any device use")
     ap.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
-                    help="save a resumable scan checkpoint every N frames")
+                    help="save a resumable checkpoint every N scan frames "
+                         "and every N refinement iterations")
     ap.add_argument("--resume", default="",
-                    help="resume the scan from a checkpoint written by "
-                         "--checkpoint-every (path to scan_checkpoint.npz)")
+                    help="resume from a checkpoint written by "
+                         "--checkpoint-every (path to scan_checkpoint.npz "
+                         "or refine_checkpoint.npz; the refine one resumes "
+                         "mid-refinement, skipping the completed scan)")
     ap.add_argument("--profile", default="", metavar="DIR",
                     help="capture a jax.profiler device trace of the whole "
                          "run into DIR (view with tensorboard/xprof; "
@@ -96,12 +99,17 @@ def main(argv=None) -> int:
                     import jax
                     jax.config.update("jax_compilation_cache_dir", None)
                 # resume only from a checkpoint THIS run wrote — a stale
-                # scan_checkpoint.npz from an earlier run in the same
-                # output dir must not leak into this one
-                ckpt = _os.path.join(cfg.tracking.output, "scan_checkpoint.npz")
-                if (args.checkpoint_every > 0 and _os.path.exists(ckpt)
-                        and _os.path.getmtime(ckpt) >= t_start):
-                    resume = ckpt
+                # checkpoint from an earlier run in the same output dir
+                # must not leak into this one; prefer the newest phase
+                # (a refine checkpoint supersedes the scan one)
+                cand = [
+                    _os.path.join(cfg.tracking.output, name)
+                    for name in ("scan_checkpoint.npz", "refine_checkpoint.npz")
+                ]
+                cand = [p for p in cand if _os.path.exists(p)
+                        and _os.path.getmtime(p) >= t_start]
+                if args.checkpoint_every > 0 and cand:
+                    resume = max(cand, key=_os.path.getmtime)
                 else:
                     resume = args.resume
                 print(f"run failed ({type(e).__name__}: {e}); retry "

@@ -131,13 +131,28 @@ def load_scan_state(path: str):
 
 
 def save_refine_state(path: str, refiner) -> None:
-    """Snapshot a PhotometricRefiner mid-optimization (exact resume)."""
+    """Snapshot a PhotometricRefiner mid-optimization (exact resume).
+
+    Saves the compacted RefineProblem arrays verbatim rather than
+    re-extracting on load: refinement moves voxel distances, so a fresh
+    surface-band extraction from the refined volume could select a
+    *different* active set than the run being resumed (the reference also
+    freezes the set after init — Optimizer.cpp:30-47).  Also saves the
+    alternating-loop scalar state (refiner.loop_state: iteration index,
+    auto-normalized reg weights, last energies) so the resumed loop is
+    bit-exact, including the iteration-indexed upsample/Laplacian branches.
+    """
     refiner.sync_to_volume()
     save_volume(path, refiner.vol, refiner.geom, meta={
         "keyframe_indices": refiner.keyframe_indices,
         "timestamps": refiner.timestamps,
         "model": refiner.cfg.model,
+        "phase": "refine",
     })
+    prob_arrays = {
+        f"prob_{name}": np.asarray(v)
+        for name, v in refiner.prob._asdict().items()
+    }
     _atomic_savez(
         path + ".refine",
         poses=np.asarray(refiner.poses),
@@ -146,6 +161,10 @@ def save_refine_state(path: str, refiner) -> None:
         dist=np.asarray(refiner.dist),
         albedo=np.asarray(refiner.albedo),
         grad_stored=np.asarray(refiner.grad_stored),
+        loop_state=np.frombuffer(
+            json.dumps(refiner.loop_state or {}).encode(), dtype=np.uint8
+        ),
+        **prob_arrays,
     )
 
 
@@ -161,9 +180,20 @@ def load_refine_state(path: str, refiner) -> None:
     refiner.images = jnp.asarray(data["images"])
     refiner.poses = jnp.asarray(data["poses"])
     refiner.lights = jnp.asarray(data["lights"])
-    from psgradientsdf_tpu.refine.problem import extract_problem
+    from psgradientsdf_tpu.refine.problem import RefineProblem, extract_problem
 
-    refiner.prob = extract_problem(vol, geom, refiner.keyframe_indices)
+    if "prob_valid" in data:
+        refiner.prob = RefineProblem(**{
+            name: jnp.asarray(data[f"prob_{name}"])
+            for name in RefineProblem._fields
+        })
+    else:   # legacy checkpoint without the frozen active set
+        refiner.prob = extract_problem(vol, geom, refiner.keyframe_indices)
     refiner.dist = jnp.asarray(data["dist"])
     refiner.albedo = jnp.asarray(data["albedo"])
     refiner.grad_stored = jnp.asarray(data["grad_stored"])
+    if "loop_state" in data:
+        ls = json.loads(bytes(data["loop_state"]).decode() or "{}")
+        refiner.loop_state = ls or None
+    else:
+        refiner.loop_state = None

@@ -10,6 +10,7 @@ the state lives on device for the whole scan.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Dict, List, Optional, Tuple
@@ -137,6 +138,18 @@ class ReconstructionPipeline:
         self.loader.skip(tr.first)
 
         truncation = cfg.truncation
+
+        # resume directly into the refinement phase when the checkpoint was
+        # written mid-refinement (the scan it belongs to already completed)
+        if self.resume and os.path.exists(self.resume + ".json"):
+            with open(self.resume + ".json") as fh:
+                phase = json.load(fh).get("meta", {}).get("phase", "")
+            if phase == "refine":
+                if not refine:
+                    raise ValueError(
+                        "refine-phase checkpoint given but refinement is off")
+                return self._resume_refine(truncation)
+
         pose_lines: List[str] = []
         key_indices: List[int] = [0]
         key_stamps: List[str] = []
@@ -308,19 +321,7 @@ class ReconstructionPipeline:
         )
 
         if refine and key_images:
-            if self.compile_cache_dir:
-                # persistent XLA cache, enabled only now: the refinement
-                # block programs hit it reliably (first calls 32-45 s ->
-                # 1.5-3.3 s, refine wall 244 -> 61 s on the sokrates demo),
-                # while the megapixel scan program misses it on the axon
-                # backend AND compiles far slower under cache writing
-                # (42 -> 265-333 s) — so the scan runs uncached.
-                import jax as _jax
-                _jax.config.update("jax_compilation_cache_dir",
-                                   self.compile_cache_dir)
-                _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-                _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-                self.metrics.log("compile_cache", dir=self.compile_cache_dir)
+            self._enable_refine_compile_cache()
             key_indices, key_stamps, key_images, key_poses = sample_keyframes(
                 key_indices, key_stamps, key_images, key_poses,
                 self.cfg.tpu.keyframe_cap,
@@ -333,16 +334,62 @@ class ReconstructionPipeline:
                 np.stack(key_images), np.stack(key_poses), key_indices, key_stamps
             )
             self.refiner.init()
-            t0 = time.perf_counter()
-            converged = self.refiner.alternating_optimize(
-                cfg.optimizer.opt_light, cfg.optimizer.opt_albedo,
-                cfg.optimizer.opt_distance, cfg.optimizer.opt_pose,
-            )
-            summary["refine_seconds"] = time.perf_counter() - t0
-            summary["refine_converged"] = converged
-            self.vol = self.refiner.vol
-            self.geom = self.refiner.geom
+            summary.update(self._run_refinement())
 
+        return summary
+
+    def _enable_refine_compile_cache(self) -> None:
+        if not self.compile_cache_dir:
+            return
+        # persistent XLA cache, enabled only at the refinement phase: the
+        # refinement block programs hit it reliably (first calls 32-45 s ->
+        # 1.5-3.3 s, refine wall 244 -> 61 s on the sokrates demo), while
+        # the megapixel scan program misses it on the axon backend AND
+        # compiles far slower under cache writing (42 -> 265-333 s) — so
+        # the scan runs uncached.
+        import jax as _jax
+        _jax.config.update("jax_compilation_cache_dir", self.compile_cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        self.metrics.log("compile_cache", dir=self.compile_cache_dir)
+
+    def _run_refinement(self) -> Dict:
+        """Run the alternating loop on an initialized/restored refiner."""
+        cfg = self.cfg
+        out = cfg.tracking.output
+        self.refiner.checkpoint_every = self.checkpoint_every
+        if out:
+            self.refiner.checkpoint_path = os.path.join(
+                out, "refine_checkpoint.npz")
+        t0 = time.perf_counter()
+        converged = self.refiner.alternating_optimize(
+            cfg.optimizer.opt_light, cfg.optimizer.opt_albedo,
+            cfg.optimizer.opt_distance, cfg.optimizer.opt_pose,
+        )
+        self.vol = self.refiner.vol
+        self.geom = self.refiner.geom
+        return {
+            "refine_seconds": time.perf_counter() - t0,
+            "refine_converged": converged,
+        }
+
+    def _resume_refine(self, truncation: float) -> Dict:
+        """Skip the (already completed) scan and resume mid-refinement from
+        a checkpoint written by PhotometricRefiner.checkpoint_every."""
+        from psgradientsdf_tpu.io import checkpoint as ckpt
+
+        self._enable_refine_compile_cache()
+        out = self.cfg.tracking.output
+        self.refiner = PhotometricRefiner(
+            None, None, self.cfg.optimizer, self.K,
+            save_path=out, truncation=truncation, metrics=self.metrics,
+        )
+        ckpt.load_refine_state(self.resume, self.refiner)
+        it = (self.refiner.loop_state or {}).get("it", 0)
+        self.metrics.log("resume", path=self.resume, phase="refine", iter=it)
+        summary: Dict = dict(resumed_refine_iter=it, frames=0, keyframes=len(
+            self.refiner.keyframe_indices), track_log=[])
+        summary.update(self._run_refinement())
         return summary
 
     # ------------------------------------------------------------ helpers

@@ -373,6 +373,13 @@ class PhotometricRefiner:
         self.dist = None
         self.albedo = None
         self.grad_stored = None
+        # alternating-loop scalar state for exact mid-run checkpoint/resume
+        # (SURVEY §5.4); set by alternating_optimize at every iteration
+        # boundary, restored by io.checkpoint.load_refine_state
+        self.loop_state: Optional[dict] = None
+        # write a resumable checkpoint every N outer iterations (0 = off)
+        self.checkpoint_every: int = 0
+        self.checkpoint_path: str = ""
 
     # ------------------------------------------------------------ setup
 
@@ -470,26 +477,42 @@ class PhotometricRefiner:
     ) -> bool:
         cfg = self.cfg
         T = Timer(verbose=False)
-        w_n, w_l, w_rho = cfg.reg_weight_n, cfg.reg_weight_l, cfg.reg_weight_rho
-        normal_reg = w_n != 0.0
-        albedo_reg = w_rho != 0.0
-        laplacian_reg = w_l != 0.0
         damping = cfg.damping
 
-        self.init_albedo()
+        if self.loop_state:
+            # exact resume from an io.checkpoint refine snapshot: skip the
+            # albedo init + energy-ratio weight normalization (their results
+            # are part of the restored state) and continue mid-loop
+            ls = self.loop_state
+            w_n, w_l, w_rho = ls["w_n"], ls["w_l"], ls["w_rho"]
+            normal_reg = ls["normal_reg"]
+            albedo_reg = ls["albedo_reg"]
+            laplacian_reg = ls["laplacian_reg"]
+            E, E_n, E_l, E_r = ls["E"], ls["E_n"], ls["E_l"], ls["E_r"]
+            E_vec = list(ls["E_vec"])
+            it = int(ls["it"])
+            self.metrics.log("refine_resume", iter=it)
+        else:
+            w_n, w_l, w_rho = (cfg.reg_weight_n, cfg.reg_weight_l,
+                               cfg.reg_weight_rho)
+            normal_reg = w_n != 0.0
+            albedo_reg = w_rho != 0.0
+            laplacian_reg = w_l != 0.0
 
-        E, E_n, E_l, E_r = self.energies()
-        if normal_reg and E_n > 0:
-            w_n *= E / E_n                     # weight normalization
-        if laplacian_reg:
-            if E_l > 0:
-                w_l *= E / E_l
-            if cfg.upsample:
-                laplacian_reg = False
-        E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
-        E_vec = [E_total]
+            self.init_albedo()
 
-        it = 0
+            E, E_n, E_l, E_r = self.energies()
+            if normal_reg and E_n > 0:
+                w_n *= E / E_n                     # weight normalization
+            if laplacian_reg:
+                if E_l > 0:
+                    w_l *= E / E_l
+                if cfg.upsample:
+                    laplacian_reg = False
+            E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
+            E_vec = [E_total]
+            it = 0
+
         while it < cfg.max_it:
             if albedo:
                 T.tic()
@@ -557,10 +580,12 @@ class PhotometricRefiner:
 
             if rel_diff < cfg.conv_threshold:
                 self.metrics.log("converged", iter=it)
+                self.loop_state = None
                 self._save_artifacts("final_refined")
                 return True
             if E_vec[-2] < E_total:
                 self.metrics.log("diverged", iter=it)
+                self.loop_state = None
                 self._save_artifacts("final_refined")
                 return False
 
@@ -583,6 +608,26 @@ class PhotometricRefiner:
                 laplacian_reg = False
 
             it += 1
+            # record the scalar loop state at every iteration boundary so a
+            # mid-run checkpoint resumes exactly here (including the
+            # iteration-indexed upsample / Laplacian-disable branches)
+            self.loop_state = {
+                "it": it, "w_n": float(w_n), "w_l": float(w_l),
+                "w_rho": float(w_rho), "normal_reg": bool(normal_reg),
+                "albedo_reg": bool(albedo_reg),
+                "laplacian_reg": bool(laplacian_reg),
+                "E": float(E), "E_n": float(E_n), "E_l": float(E_l),
+                "E_r": float(E_r), "E_vec": [float(v) for v in E_vec],
+            }
+            if self.checkpoint_every and it % self.checkpoint_every == 0:
+                from psgradientsdf_tpu.io.checkpoint import save_refine_state
+
+                path = self.checkpoint_path or os.path.join(
+                    self.save_path or ".", "refine_checkpoint.npz")
+                T.tic()
+                save_refine_state(path, self)
+                self.metrics.log("refine_checkpoint", iter=it, path=path,
+                                 seconds=T.toc("refine_checkpoint"))
             if it % 3 == 0:
                 self.save_poses(f"after_poses_opt_{it}")
                 self._save_artifacts(f"after_iter_{it}")
@@ -591,6 +636,7 @@ class PhotometricRefiner:
         # (PsOptimizer.cpp:425-427 — only the every-3-iteration dumps
         # survive); we save the final state anyway so a capped run always
         # leaves usable artifacts.
+        self.loop_state = None
         self.metrics.log("budget_exhausted", iter=it)
         self._save_artifacts("final_refined")
         return False

@@ -56,6 +56,53 @@ def test_refine_state_roundtrip(tmp_path):
     np.testing.assert_allclose(r1.energies(), r2.energies(), rtol=1e-6)
 
 
+def test_refine_midrun_checkpoint_resume_exact(tmp_path):
+    """A run resumed from a mid-loop checkpoint must finish bit-identical
+    to the uninterrupted run (SURVEY §5.4: resume must be exact)."""
+    from psgradientsdf_tpu.utils import se3
+
+    def build():
+        poses = [jnp.eye(4, dtype=jnp.float32),
+                 se3.se3_exp(0.02 * jnp.asarray(
+                     np.random.RandomState(1).randn(6).astype(np.float32)))]
+        sc = wavy_scene(dim=32, h=0.04, H=48, W=48, f=45.0, poses=poses)
+        light = jnp.array([0.1, 0.2, -0.15, 0.85], dtype=jnp.float32)
+        images = shaded_images(sc["frames"], light, order=1)
+        cfg = OptimizerConfig(
+            max_it=4, conv_threshold=1e-9, damping=1.0, lam=0.2,
+            reg_weight_n=1.0, reg_weight_l=0.0, reg_weight_rho=0.0,
+            order=1, model=SH1, loss=robust.CAUCHY,
+        )
+        r = PhotometricRefiner(
+            sc["vol"], sc["geom"], cfg, np.asarray(sc["K"]),
+            truncation=sc["truncation"],
+        )
+        r.set_keyframes(images, jnp.stack(poses), [0, 1], ["000", "001"])
+        r.init()
+        return r
+
+    rA = build()                       # uninterrupted 4-iteration run
+    rA.alternating_optimize(True, True, True, True)
+
+    rB = build()                       # same run, checkpointing at it=3
+    rB.checkpoint_every = 3
+    rB.checkpoint_path = str(tmp_path / "refine_checkpoint.npz")
+    rB.alternating_optimize(True, True, True, True)
+    assert os.path.exists(rB.checkpoint_path)
+
+    rC = build()                       # fresh refiner, state overwritten
+    ckpt.load_refine_state(rB.checkpoint_path, rC)
+    assert rC.loop_state is not None and rC.loop_state["it"] == 3
+    rC.alternating_optimize(True, True, True, True)
+    assert rC.loop_state is None       # run-to-completion clears the state
+
+    for name in ("dist", "albedo", "lights", "poses"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rA, name)), np.asarray(getattr(rC, name)),
+            err_msg=name,
+        )
+
+
 class FakeLoader:
     """Deterministic in-memory loader for prefetch tests."""
 
