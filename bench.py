@@ -69,12 +69,20 @@ def run_cpp_baseline() -> dict:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-o", binp, src], check=True,
         )
-    log("[bench] running C++ baseline ...")
-    out = subprocess.run(
-        [binp, str(W), str(H), str(DIM), str(FRAMES_CPP)],
-        check=True, capture_output=True, text=True, timeout=1200,
-    ).stdout
-    return json.loads(out)
+    log("[bench] running C++ baseline (best of 3) ...")
+    runs = []
+    for _ in range(3):
+        out = subprocess.run(
+            [binp, str(W), str(H), str(DIM), str(FRAMES_CPP)],
+            check=True, capture_output=True, text=True, timeout=1200,
+        ).stdout
+        runs.append(json.loads(out))
+    # host-load noise only ever slows the single-threaded C++ down, so the
+    # fastest rep is the true baseline (and the strongest competitor);
+    # single-shot numbers swung the reported speedups by ~10-20% run to run
+    best = dict(min(runs, key=lambda r: r["per_frame_s"]))
+    best["gn_iters_per_s"] = max(r["gn_iters_per_s"] for r in runs)
+    return best
 
 
 def wait_for_device(max_tries: int = 6, sleep_s: float = 30.0):

@@ -33,12 +33,21 @@ def _cpp(log) -> dict:
     if not os.path.exists(binp) or os.path.getmtime(binp) < os.path.getmtime(src):
         log("[refine-bench] compiling C++ refinement baseline ...")
         subprocess.run(["g++", "-O3", "-std=c++17", "-o", binp, src], check=True)
-    log("[refine-bench] running C++ refinement baseline ...")
-    out = subprocess.run(
-        [binp, str(W), str(H), str(DIM), str(FRAMES)],
-        check=True, capture_output=True, text=True, timeout=1800,
-    ).stdout
-    return json.loads(out)
+    log("[refine-bench] running C++ refinement baseline (best of 3) ...")
+    runs = []
+    for _ in range(3):
+        out = subprocess.run(
+            [binp, str(W), str(H), str(DIM), str(FRAMES)],
+            check=True, capture_output=True, text=True, timeout=1800,
+        ).stdout
+        runs.append(json.loads(out))
+    # fastest rep per metric = strongest baseline; single-shot numbers
+    # swung dist_block_s by up to 2.5x under host load
+    best = dict(runs[0])
+    best["dist_block_s"] = min(r["dist_block_s"] for r in runs)
+    best["find_variant_dist_block_s"] = min(
+        r["find_variant_dist_block_s"] for r in runs)
+    return best
 
 
 def _tpu(log) -> dict:

@@ -103,6 +103,70 @@ def test_refine_midrun_checkpoint_resume_exact(tmp_path):
         )
 
 
+def test_refine_checkpoint_after_upsample_resumes_exact(tmp_path):
+    """Checkpoints straddling the iter-5 upsample (8x voxel count, new
+    problem capacities) must restore the post-upsample shapes verbatim and
+    resume bit-exactly.  The upsample + loop state are planted directly
+    (alternating GN is not monotone on this scene, so a natural run rarely
+    survives to iteration 6 — the divergence abort is reference behavior)."""
+    from psgradientsdf_tpu.utils import se3
+
+    def build():
+        poses = [jnp.eye(4, dtype=jnp.float32),
+                 se3.se3_exp(0.02 * jnp.asarray(
+                     np.random.RandomState(1).randn(6).astype(np.float32)))]
+        sc = wavy_scene(dim=24, h=0.05, H=40, W=40, f=38.0, poses=poses)
+        light = jnp.array([0.1, 0.2, -0.15, 0.85], dtype=jnp.float32)
+        images = shaded_images(sc["frames"], light, order=1)
+        cfg = OptimizerConfig(
+            max_it=7, conv_threshold=1e-12, damping=1.0, lam=0.2,
+            reg_weight_n=1.0, reg_weight_l=0.0, reg_weight_rho=0.0,
+            order=1, model=SH1, loss=robust.CAUCHY, upsample=True,
+        )
+        r = PhotometricRefiner(
+            sc["vol"], sc["geom"], cfg, np.asarray(sc["K"]),
+            truncation=sc["truncation"],
+        )
+        r.set_keyframes(images, jnp.stack(poses), [0, 1], ["000", "001"])
+        r.init()
+        return r
+
+    rB = build()
+    rB.init_albedo()
+    rB._upsample()                  # the iter-5 8x subdivision
+    assert rB.geom.dims == (48, 48, 48)
+    E, E_n, E_l, E_r = (float(v) for v in rB.energies())
+    rB.loop_state = {               # boundary state right after iteration 5
+        "it": 6, "w_n": 1.0, "w_l": 0.5, "w_rho": 0.0,
+        "normal_reg": True, "albedo_reg": False, "laplacian_reg": True,
+        "E": E, "E_n": E_n, "E_l": E_l, "E_r": E_r,
+        "E_vec": [1e9, E + E_n + 0.5 * E_l],   # huge first entry: no abort
+    }
+    path = str(tmp_path / "refine_checkpoint.npz")
+    ckpt.save_refine_state(path, rB)
+
+    rC = build()                    # pre-upsample shapes, then restored over
+    ckpt.load_refine_state(path, rC)
+    assert rC.loop_state is not None and rC.loop_state["it"] == 6
+    assert rC.geom.dims == (48, 48, 48)
+    assert rC.dist.shape == rB.dist.shape      # post-upsample capacity
+    for name in ("dist", "albedo", "lights", "poses", "grad_stored"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rB, name)), np.asarray(getattr(rC, name)),
+            err_msg=f"restore:{name}",
+        )
+
+    # both twins resume from it=6 and must finish bit-identically
+    doneB = rB.alternating_optimize(True, True, True, True)
+    doneC = rC.alternating_optimize(True, True, True, True)
+    assert doneB == doneC
+    for name in ("dist", "albedo", "lights", "poses"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rB, name)), np.asarray(getattr(rC, name)),
+            err_msg=f"resume:{name}",
+        )
+
+
 class FakeLoader:
     """Deterministic in-memory loader for prefetch tests."""
 
