@@ -230,7 +230,9 @@ def run_tpu() -> dict:
                            truncation=T, zmin=0.5, zmax=3.5, num_iterations=50,
                            conv_threshold_sq=0.0, damping=1.0)
 
-    res50 = track50(off_warm)
+    # warm with a seed OUTSIDE the timed power series (power 2 == off_warm
+    # would let execution memoization serve one timed rep from cache)
+    res50 = track50(jnp.asarray(np.linalg.matrix_power(off_np, 99)))
     _ = float(jnp.sum(res50.pose))
     REPS = 10
     best = 1e18

@@ -101,13 +101,33 @@ def main(argv=None) -> int:
                 # resume only from a checkpoint THIS run wrote — a stale
                 # checkpoint from an earlier run in the same output dir
                 # must not leak into this one; prefer the newest phase
-                # (a refine checkpoint supersedes the scan one)
+                # (a refine checkpoint supersedes the scan one); skip any
+                # checkpoint whose companion files are missing (a save torn
+                # mid-write by the very failure being recovered from)
+                def _complete(p):
+                    if not (_os.path.exists(p)
+                            and _os.path.exists(p + ".json")):
+                        return False
+                    try:
+                        with open(p + ".json") as fh:
+                            phase = json.load(fh).get("meta", {}).get(
+                                "phase", "")
+                    except (OSError, json.JSONDecodeError):
+                        return False
+                    if phase == "refine":
+                        return (any(_os.path.exists(p + s)
+                                    for s in (".refine.npz", ".refine"))
+                                and any(_os.path.exists(p + s)
+                                        for s in (".images.npz", ".images")))
+                    return any(_os.path.exists(p + s)
+                               for s in (".scan.npz", ".scan"))
+
                 cand = [
                     _os.path.join(cfg.tracking.output, name)
                     for name in ("scan_checkpoint.npz", "refine_checkpoint.npz")
                 ]
                 cand = [p for p in cand if _os.path.exists(p)
-                        and _os.path.getmtime(p) >= t_start]
+                        and _os.path.getmtime(p) >= t_start and _complete(p)]
                 if args.checkpoint_every > 0 and cand:
                     resume = max(cand, key=_os.path.getmtime)
                 else:

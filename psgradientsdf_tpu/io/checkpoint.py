@@ -61,8 +61,14 @@ def save_volume(path: str, vol: GradSdfVolume, geom: GridGeometry,
         },
         "meta": meta or {},
     }
-    with open(path + ".json", "w") as fh:
+    # atomic: the sidecar is the last piece written and the first thing
+    # resume looks at, so a torn multi-file checkpoint never presents a
+    # valid-looking sidecar over incomplete arrays
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)) or ".",
+                               suffix=".tmp.json")
+    with os.fdopen(fd, "w") as fh:
         json.dump(sidecar, fh, indent=2)
+    os.replace(tmp, path + ".json")
 
 
 def load_volume(path: str) -> Tuple[GradSdfVolume, GridGeometry, Dict[str, Any]]:
@@ -143,12 +149,13 @@ def save_refine_state(path: str, refiner) -> None:
     bit-exact, including the iteration-indexed upsample/Laplacian branches.
     """
     refiner.sync_to_volume()
-    save_volume(path, refiner.vol, refiner.geom, meta={
-        "keyframe_indices": refiner.keyframe_indices,
-        "timestamps": refiner.timestamps,
-        "model": refiner.cfg.model,
-        "phase": "refine",
-    })
+    # the keyframe image stack is invariant during refinement and is by far
+    # the largest array — write it on this run's first checkpoint only
+    # (unconditionally then, so a stale .images from an older run in the
+    # same output dir can never pair with this run's state)
+    if not getattr(refiner, "_ckpt_images_saved", False):
+        _atomic_savez(path + ".images", images=np.asarray(refiner.images))
+        refiner._ckpt_images_saved = True
     prob_arrays = {
         f"prob_{name}": np.asarray(v)
         for name, v in refiner.prob._asdict().items()
@@ -157,7 +164,6 @@ def save_refine_state(path: str, refiner) -> None:
         path + ".refine",
         poses=np.asarray(refiner.poses),
         lights=np.asarray(refiner.lights),
-        images=np.asarray(refiner.images),
         dist=np.asarray(refiner.dist),
         albedo=np.asarray(refiner.albedo),
         grad_stored=np.asarray(refiner.grad_stored),
@@ -166,6 +172,15 @@ def save_refine_state(path: str, refiner) -> None:
         ),
         **prob_arrays,
     )
+    # volume + sidecar LAST: the sidecar's phase=refine marker is what
+    # resume selection keys on, so it must only appear once every other
+    # piece of the checkpoint is durably on disk
+    save_volume(path, refiner.vol, refiner.geom, meta={
+        "keyframe_indices": refiner.keyframe_indices,
+        "timestamps": refiner.timestamps,
+        "model": refiner.cfg.model,
+        "phase": "refine",
+    })
 
 
 def load_refine_state(path: str, refiner) -> None:
@@ -177,7 +192,13 @@ def load_refine_state(path: str, refiner) -> None:
     refiner.geom = geom
     refiner.keyframe_indices = [int(v) for v in meta["keyframe_indices"]]
     refiner.timestamps = list(meta["timestamps"])
-    refiner.images = jnp.asarray(data["images"])
+    if "images" in data:            # legacy checkpoint: images inline
+        refiner.images = jnp.asarray(data["images"])
+    else:
+        ip = path + ".images.npz" if os.path.exists(path + ".images.npz") \
+            else path + ".images"
+        refiner.images = jnp.asarray(np.load(ip)["images"])
+    refiner._ckpt_images_saved = False   # a resumed run re-saves them once
     refiner.poses = jnp.asarray(data["poses"])
     refiner.lights = jnp.asarray(data["lights"])
     from psgradientsdf_tpu.refine.problem import RefineProblem, extract_problem

@@ -116,6 +116,20 @@ class ReconstructionPipeline:
         if not self.loader.load_intrinsics():
             raise FileNotFoundError(f"No intrinsics file found in {tr.input}")
         self.K = self.loader.K
+
+        # resume directly into the refinement phase when the checkpoint was
+        # written mid-refinement (the scan it belongs to already completed);
+        # checked before any frame decode / FALS cache work — a refine
+        # resume needs only the intrinsics from the scan prologue
+        if self.resume and os.path.exists(self.resume + ".json"):
+            with open(self.resume + ".json") as fh:
+                phase = json.load(fh).get("meta", {}).get("phase", "")
+            if phase == "refine":
+                if not refine:
+                    raise ValueError(
+                        "refine-phase checkpoint given but refinement is off")
+                return self._resume_refine(cfg.truncation)
+
         first = self.loader.load_next()
         if first is None:
             raise RuntimeError("Frame could not be loaded")
@@ -138,18 +152,6 @@ class ReconstructionPipeline:
         self.loader.skip(tr.first)
 
         truncation = cfg.truncation
-
-        # resume directly into the refinement phase when the checkpoint was
-        # written mid-refinement (the scan it belongs to already completed)
-        if self.resume and os.path.exists(self.resume + ".json"):
-            with open(self.resume + ".json") as fh:
-                phase = json.load(fh).get("meta", {}).get("phase", "")
-            if phase == "refine":
-                if not refine:
-                    raise ValueError(
-                        "refine-phase checkpoint given but refinement is off")
-                return self._resume_refine(truncation)
-
         pose_lines: List[str] = []
         key_indices: List[int] = [0]
         key_stamps: List[str] = []

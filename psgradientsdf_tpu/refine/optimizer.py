@@ -377,7 +377,9 @@ class PhotometricRefiner:
         # (SURVEY §5.4); set by alternating_optimize at every iteration
         # boundary, restored by io.checkpoint.load_refine_state
         self.loop_state: Optional[dict] = None
-        # write a resumable checkpoint every N outer iterations (0 = off)
+        # write a resumable checkpoint every N outer iterations; requires
+        # BOTH fields set (no implicit cwd fallback — the pipeline only
+        # wires a path when an output dir is configured)
         self.checkpoint_every: int = 0
         self.checkpoint_path: str = ""
 
@@ -490,6 +492,7 @@ class PhotometricRefiner:
             laplacian_reg = ls["laplacian_reg"]
             E, E_n, E_l, E_r = ls["E"], ls["E_n"], ls["E_l"], ls["E_r"]
             E_vec = list(ls["E_vec"])
+            E_total = E_vec[-1]     # current total (all-blocks-off resume)
             it = int(ls["it"])
             self.metrics.log("refine_resume", iter=it)
         else:
@@ -619,14 +622,14 @@ class PhotometricRefiner:
                 "E": float(E), "E_n": float(E_n), "E_l": float(E_l),
                 "E_r": float(E_r), "E_vec": [float(v) for v in E_vec],
             }
-            if self.checkpoint_every and it % self.checkpoint_every == 0:
+            if (self.checkpoint_every and self.checkpoint_path
+                    and it % self.checkpoint_every == 0):
                 from psgradientsdf_tpu.io.checkpoint import save_refine_state
 
-                path = self.checkpoint_path or os.path.join(
-                    self.save_path or ".", "refine_checkpoint.npz")
                 T.tic()
-                save_refine_state(path, self)
-                self.metrics.log("refine_checkpoint", iter=it, path=path,
+                save_refine_state(self.checkpoint_path, self)
+                self.metrics.log("refine_checkpoint", iter=it,
+                                 path=self.checkpoint_path,
                                  seconds=T.toc("refine_checkpoint"))
             if it % 3 == 0:
                 self.save_poses(f"after_poses_opt_{it}")
