@@ -19,19 +19,47 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
+from psgradientsdf_tpu import native
 from psgradientsdf_tpu.utils import se3 as se3_np  # noqa: F401  (jax quat used via numpy below)
 
 
 def _imread_depth(path: str, unit: float) -> Optional[np.ndarray]:
-    if cv2 is None:
-        raise RuntimeError("cv2 is required for image loading")
-    img = cv2.imread(path, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_ANYCOLOR)
-    if img is None:
+    raw = _imread_depth_raw(path)
+    if raw is None:
         return None
-    return img.astype(np.float32) * unit
+    return raw.astype(np.float32) * unit
 
 
 def _imread_color(path: str) -> Optional[np.ndarray]:
+    raw = _imread_color_raw(path)
+    if raw is None:
+        return None
+    return raw.astype(np.float32) / 255.0
+
+
+def _imread_depth_raw(path: str) -> Optional[np.ndarray]:
+    """Depth in its stored integer encoding (u16 PNG) — for wire-efficient
+    host->device transfer with on-device metric conversion.
+
+    Decode prefers the native C++ libpng core (native/loader.cpp — the
+    counterpart of the reference's C++ loading layer, ImageLoader.h:130-146)
+    and falls back to cv2 for non-PNG files or when the library is absent."""
+    if path.lower().endswith(".png"):
+        arr = native.png_read_depth_u16(path)
+        if arr is not None:
+            return arr
+    if cv2 is None:
+        raise RuntimeError("cv2 is required for image loading")
+    return cv2.imread(path, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_ANYCOLOR)
+
+
+def _imread_color_raw(path: str) -> Optional[np.ndarray]:
+    """RGB uint8 (BGR swapped, not normalized) — 4x smaller on the wire.
+    Native libpng decode first (see _imread_depth_raw), cv2 fallback."""
+    if path.lower().endswith(".png"):
+        arr = native.png_read_rgb8(path)
+        if arr is not None:
+            return arr
     if cv2 is None:
         raise RuntimeError("cv2 is required for image loading")
     img = cv2.imread(path)
@@ -40,26 +68,6 @@ def _imread_color(path: str) -> Optional[np.ndarray]:
     if img.ndim == 2:
         img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
     # BGR -> RGB once at load (vs. per-sample swap in Auxilary.h:59)
-    return img[..., ::-1].astype(np.float32) / 255.0
-
-
-def _imread_depth_raw(path: str) -> Optional[np.ndarray]:
-    """Depth in its stored integer encoding (u16 PNG) — for wire-efficient
-    host->device transfer with on-device metric conversion."""
-    if cv2 is None:
-        raise RuntimeError("cv2 is required for image loading")
-    return cv2.imread(path, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_ANYCOLOR)
-
-
-def _imread_color_raw(path: str) -> Optional[np.ndarray]:
-    """RGB uint8 (BGR swapped, not normalized) — 4x smaller on the wire."""
-    if cv2 is None:
-        raise RuntimeError("cv2 is required for image loading")
-    img = cv2.imread(path)
-    if img is None:
-        return None
-    if img.ndim == 2:
-        img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
     return np.ascontiguousarray(img[..., ::-1])
 
 

@@ -23,9 +23,13 @@ import numpy as np
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_IO_LIB: Optional[ctypes.CDLL] = None
+_IO_TRIED = False
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "native", "mc.cpp")
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "mc.cpp")
+_IO_SRC = os.path.join(_NATIVE_DIR, "loader.cpp")
 
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
@@ -93,6 +97,101 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _TRIED = True
             _LIB = _build_and_load()
     return _LIB
+
+
+def _build_and_load_io() -> Optional[ctypes.CDLL]:
+    """Native PNG decoder (native/loader.cpp — the reference's C++ image
+    loading layer, ImageLoader.h:130-188). Needs libpng at build time."""
+    if not os.path.exists(_IO_SRC):
+        return None
+    build_dir = os.path.join(_NATIVE_DIR, "build")
+    so_path = os.path.join(build_dir, "libpsgsdf_io.so")
+    try:
+        if (not os.path.exists(so_path)
+                or os.path.getmtime(so_path) < os.path.getmtime(_IO_SRC)):
+            os.makedirs(build_dir, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(suffix=".so", dir=build_dir)
+            os.close(fd)
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                 "-o", tmp, _IO_SRC, "-lpng", "-lz"],
+                check=True, capture_output=True, timeout=120,
+            )
+            os.replace(tmp, so_path)
+        lib = ctypes.CDLL(so_path)
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.psg_png_probe.restype = ctypes.c_int
+    lib.psg_png_probe.argtypes = [ctypes.c_char_p, i32p, i32p, i32p, i32p]
+    lib.psg_png_read_u16.restype = ctypes.c_int
+    lib.psg_png_read_u16.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64]
+    lib.psg_png_read_rgb8.restype = ctypes.c_int
+    lib.psg_png_read_rgb8.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    return lib
+
+
+def get_io_lib() -> Optional[ctypes.CDLL]:
+    """The native decode library; None if unavailable/disabled."""
+    global _IO_LIB, _IO_TRIED
+    if os.environ.get("PSGSDF_NO_NATIVE"):
+        return None
+    with _LOCK:
+        if not _IO_TRIED:
+            _IO_TRIED = True
+            _IO_LIB = _build_and_load_io()
+    return _IO_LIB
+
+
+def png_probe(path: str):
+    """(width, height, bit_depth, channels) of a PNG, or None."""
+    lib = get_io_lib()
+    if lib is None:
+        return None
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    d = ctypes.c_int32()
+    c = ctypes.c_int32()
+    rc = lib.psg_png_probe(path.encode(), ctypes.byref(w), ctypes.byref(h),
+                           ctypes.byref(d), ctypes.byref(c))
+    if rc != 0:
+        return None
+    return w.value, h.value, d.value, c.value
+
+
+def png_read_depth_u16(path: str) -> Optional[np.ndarray]:
+    """Grayscale PNG -> uint16 [H,W] (8-bit widened value-preserving);
+    None if the library is unavailable or the file isn't plain grayscale."""
+    lib = get_io_lib()
+    if lib is None:
+        return None
+    meta = png_probe(path)
+    if meta is None or meta[3] != 1:
+        return None
+    w, h = meta[0], meta[1]
+    out = np.empty((h, w), dtype=np.uint16)
+    rc = lib.psg_png_read_u16(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.size)
+    return out if rc == 0 else None
+
+
+def png_read_rgb8(path: str) -> Optional[np.ndarray]:
+    """Any PNG -> uint8 RGB [H,W,3] (palette/gray expanded, 16-bit
+    narrowed, alpha stripped); None if unavailable or decode fails."""
+    lib = get_io_lib()
+    if lib is None:
+        return None
+    meta = png_probe(path)
+    if meta is None:
+        return None
+    w, h = meta[0], meta[1]
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    rc = lib.psg_png_read_rgb8(path.encode(), _u8ptr(out), out.size)
+    return out if rc == 0 else None
 
 
 def marching_cubes_native(
