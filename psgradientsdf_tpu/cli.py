@@ -52,6 +52,12 @@ def main(argv=None) -> int:
                          "resuming from the latest scan checkpoint when "
                          "--checkpoint-every produced one (SURVEY §5.3 — "
                          "the reference restarts from scratch)")
+    ap.add_argument("--eval-ate", default="", metavar="GT_FILE",
+                    help="after the run, associate the written "
+                         "tracking_poses.txt with this TUM-format ground-"
+                         "truth trajectory by timestamp and report "
+                         "ATE-RMSE (the reference defers this to external "
+                         "tooling; SURVEY §4)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -138,6 +144,11 @@ def main(argv=None) -> int:
                          " from scratch"))
                 backoff = float(_os.environ.get("PSGSDF_RETRY_BACKOFF", "30"))
                 _time.sleep(min(backoff * attempt, 120.0))
+    if args.eval_ate:
+        from psgradientsdf_tpu.io.trajectory import evaluate_ate
+
+        traj = _os.path.join(cfg.tracking.output, "tracking_poses.txt")
+        summary["ate"] = evaluate_ate(traj, args.eval_ate)
     summary_small = {k: v for k, v in summary.items() if k != "track_log"}
     print(json.dumps(summary_small, default=float))
     if args.summary_json:

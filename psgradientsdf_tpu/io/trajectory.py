@@ -88,6 +88,51 @@ def read_trajectory(path: str) -> Tuple[List[str], List[np.ndarray]]:
     return stamps, poses
 
 
+def associate(stamps_est: Sequence[str], stamps_gt: Sequence[str],
+              max_diff: float = 0.02) -> List[Tuple[int, int]]:
+    """Greedy nearest-timestamp association — the semantics of the TUM
+    benchmark's associate.py (the external tooling the reference defers
+    ATE evaluation to, SURVEY §4): candidate (i, j) pairs sorted by
+    |t_i − t_j|, each index matched at most once, pairs farther apart
+    than max_diff seconds discarded.  Non-numeric timestamps (synthetic
+    frame counters) fall back to positional pairing."""
+    try:
+        te = [float(s) for s in stamps_est]
+        tg = [float(s) for s in stamps_gt]
+    except ValueError:
+        n = min(len(stamps_est), len(stamps_gt))
+        return [(i, i) for i in range(n)]
+    cand = sorted(
+        (abs(a - b), i, j)
+        for i, a in enumerate(te)
+        for j, b in enumerate(tg)
+        if abs(a - b) <= max_diff
+    )
+    used_e, used_g, pairs = set(), set(), []
+    for _, i, j in cand:
+        if i not in used_e and j not in used_g:
+            used_e.add(i)
+            used_g.add(j)
+            pairs.append((i, j))
+    pairs.sort()
+    return pairs
+
+
+def evaluate_ate(est_file: str, gt_file: str, max_diff: float = 0.02) -> dict:
+    """ATE-RMSE between two TUM-format trajectory files with timestamp
+    association — the in-repo equivalent of the external evaluation path
+    the reference relies on (main_ps.cpp:262-275 writes, tooling absent)."""
+    stamps_e, est = read_trajectory(est_file)
+    stamps_g, gt = read_trajectory(gt_file)
+    pairs = associate(stamps_e, stamps_g, max_diff=max_diff)
+    if not pairs:
+        return {"ate_rmse": float("nan"), "pairs": 0,
+                "est_poses": len(est), "gt_poses": len(gt)}
+    err = ate_rmse([est[i] for i, _ in pairs], [gt[j] for _, j in pairs])
+    return {"ate_rmse": err, "pairs": len(pairs),
+            "est_poses": len(est), "gt_poses": len(gt)}
+
+
 def ate_rmse(est_poses: Sequence[np.ndarray], gt_poses: Sequence[np.ndarray]) -> float:
     """Absolute trajectory error RMSE after Umeyama (rigid, no scale)
     alignment of the translation tracks — the TUM benchmark metric."""
