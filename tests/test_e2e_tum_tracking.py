@@ -132,9 +132,12 @@ def test_tum_tracking_ate(tmp_path):
     # skip the sitecustomize axon/TPU registration (it can stall minutes
     # waiting on the device tunnel); empty pool-IPs disables it entirely
     env["PALLAS_AXON_POOL_IPS"] = ""
+    summary_path = str(tmp_path / "summary.json")
     proc = subprocess.run(
         [sys.executable, "-m", "psgradientsdf_tpu.cli", "--config_file", cfg_path,
-         "--no-refine", "--platform", "cpu"],
+         "--no-refine", "--platform", "cpu",
+         "--eval-ate", os.path.join(data, "groundtruth.txt"),
+         "--summary-json", summary_path],
         capture_output=True, text=True, timeout=600, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
@@ -145,6 +148,11 @@ def test_tum_tracking_ate(tmp_path):
     err = ate_rmse(est, gt_poses)
     # voxel size is 15mm; tracked trajectory should stay well under one voxel
     assert err < 0.01, f"ATE-RMSE {err*1000:.2f} mm"
+    # the CLI's own --eval-ate (timestamp-associated) agrees
+    with open(summary_path) as fh:
+        summary = json.load(fh)
+    assert summary["ate"]["pairs"] == 8
+    assert abs(summary["ate"]["ate_rmse"] - err) < 1e-6
     # artifacts exist
     for f in ("init_mesh.ply", "init_pointcloud.ply", "init_sdf.sdf"):
         assert os.path.isfile(os.path.join(out, f))
