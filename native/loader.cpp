@@ -102,17 +102,22 @@ int psg_png_read_u16(const char* path, uint16_t* out, int64_t cap) {
   depth = png_get_bit_depth(r.png, r.info);
 
   std::vector<png_bytep> rows(h);
+  std::vector<uint8_t> buf;
   if (depth == 16) {
     for (png_uint_32 y = 0; y < h; ++y)
       rows[y] = reinterpret_cast<png_bytep>(out + static_cast<size_t>(y) * w);
-    png_read_image(r.png, rows.data());
   } else {
-    std::vector<uint8_t> buf(static_cast<size_t>(w) * h);
+    buf.resize(static_cast<size_t>(w) * h);
     for (png_uint_32 y = 0; y < h; ++y)
       rows[y] = buf.data() + static_cast<size_t>(y) * w;
-    png_read_image(r.png, rows.data());
-    for (size_t i = 0; i < buf.size(); ++i) out[i] = buf[i];
   }
+  // re-arm the jump point now that rows/buf are fully constructed: a
+  // longjmp from a truncated IDAT inside png_read_image returns here with
+  // both objects in a well-defined state, so their destructors run.
+  if (setjmp(png_jmpbuf(r.png))) return 1;
+  png_read_image(r.png, rows.data());
+  if (depth != 16)
+    for (size_t i = 0; i < buf.size(); ++i) out[i] = buf[i];
   return 0;
 }
 
@@ -150,6 +155,8 @@ int psg_png_read_rgb8(const char* path, uint8_t* out, int64_t cap) {
   std::vector<png_bytep> rows(h);
   for (png_uint_32 y = 0; y < h; ++y)
     rows[y] = out + static_cast<size_t>(y) * w * 3;
+  // re-arm after construction (see psg_png_read_u16)
+  if (setjmp(png_jmpbuf(r.png))) return 1;
   png_read_image(r.png, rows.data());
   return 0;
 }
