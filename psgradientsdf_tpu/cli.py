@@ -147,8 +147,17 @@ def main(argv=None) -> int:
     if args.eval_ate:
         from psgradientsdf_tpu.io.trajectory import evaluate_ate
 
-        traj = _os.path.join(cfg.tracking.output, "tracking_poses.txt")
-        summary["ate"] = evaluate_ate(traj, args.eval_ate)
+        # pipeline.py writes tracking_poses.txt only when an output dir is
+        # configured — a missing trajectory must not crash a successful run
+        traj = (_os.path.join(cfg.tracking.output, "tracking_poses.txt")
+                if cfg.tracking.output else "")
+        if traj and _os.path.exists(traj):
+            summary["ate"] = evaluate_ate(traj, args.eval_ate)
+        else:
+            print("--eval-ate: no tracking_poses.txt (config has no output "
+                  "dir or the scan wrote no trajectory); skipping ATE",
+                  file=sys.stderr)
+            summary["ate"] = None
     summary_small = {k: v for k, v in summary.items() if k != "track_log"}
     print(json.dumps(summary_small, default=float))
     if args.summary_json:

@@ -102,12 +102,20 @@ def associate(stamps_est: Sequence[str], stamps_gt: Sequence[str],
     except ValueError:
         n = min(len(stamps_est), len(stamps_gt))
         return [(i, i) for i in range(n)]
-    cand = sorted(
-        (abs(a - b), i, j)
-        for i, a in enumerate(te)
-        for j, b in enumerate(tg)
-        if abs(a - b) <= max_diff
-    )
+    # near-neighbor candidate generation via bisect on the sorted gt stamps
+    # (the full est x gt cross-product is O(N*M) — tens of millions of pairs
+    # against a real 100 Hz TUM ground-truth file)
+    import bisect
+
+    order = sorted(range(len(tg)), key=lambda j: tg[j])
+    tg_sorted = [tg[j] for j in order]
+    cand = []
+    for i, a in enumerate(te):
+        lo = bisect.bisect_left(tg_sorted, a - max_diff)
+        hi = bisect.bisect_right(tg_sorted, a + max_diff)
+        for k in range(lo, hi):
+            cand.append((abs(a - tg_sorted[k]), i, order[k]))
+    cand.sort()
     used_e, used_g, pairs = set(), set(), []
     for _, i, j in cand:
         if i not in used_e and j not in used_g:
@@ -126,7 +134,8 @@ def evaluate_ate(est_file: str, gt_file: str, max_diff: float = 0.02) -> dict:
     stamps_g, gt = read_trajectory(gt_file)
     pairs = associate(stamps_e, stamps_g, max_diff=max_diff)
     if not pairs:
-        return {"ate_rmse": float("nan"), "pairs": 0,
+        # None serializes as valid JSON null (NaN would not)
+        return {"ate_rmse": None, "pairs": 0,
                 "est_poses": len(est), "gt_poses": len(gt)}
     err = ate_rmse([est[i] for i, _ in pairs], [gt[j] for _, j in pairs])
     return {"ate_rmse": err, "pairs": len(pairs),

@@ -41,15 +41,21 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         if (not os.path.exists(so_path)
                 or os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
             os.makedirs(build_dir, exist_ok=True)
-            # build to a temp name then rename (atomic for parallel pytest)
+            # build to a temp name then rename (atomic for parallel pytest);
+            # unlink the temp on compile failure so failed builds don't
+            # accumulate zero/partial .so files in native/build
             fd, tmp = tempfile.mkstemp(suffix=".so", dir=build_dir)
             os.close(fd)
-            subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                 "-o", tmp, _SRC],
-                check=True, capture_output=True, timeout=120,
-            )
-            os.replace(tmp, so_path)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     "-o", tmp, _SRC],
+                    check=True, capture_output=True, timeout=120,
+                )
+                os.replace(tmp, so_path)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         lib = ctypes.CDLL(so_path)
     except (OSError, subprocess.SubprocessError):
         return None
@@ -112,12 +118,16 @@ def _build_and_load_io() -> Optional[ctypes.CDLL]:
             os.makedirs(build_dir, exist_ok=True)
             fd, tmp = tempfile.mkstemp(suffix=".so", dir=build_dir)
             os.close(fd)
-            subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                 "-o", tmp, _IO_SRC, "-lpng", "-lz"],
-                check=True, capture_output=True, timeout=120,
-            )
-            os.replace(tmp, so_path)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     "-o", tmp, _IO_SRC, "-lpng", "-lz"],
+                    check=True, capture_output=True, timeout=120,
+                )
+                os.replace(tmp, so_path)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         lib = ctypes.CDLL(so_path)
     except (OSError, subprocess.SubprocessError):
         return None

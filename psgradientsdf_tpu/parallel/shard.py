@@ -30,7 +30,7 @@ from psgradientsdf_tpu.core.grid import GridGeometry
 from psgradientsdf_tpu.core.volume import GradSdfVolume, fuse_frame
 from psgradientsdf_tpu.parallel.halo import padded_slab
 from psgradientsdf_tpu.parallel.mesh import FRAME_AXIS, Z_AXIS, volume_specs
-from psgradientsdf_tpu.tracking.tracker import TrackResult
+from psgradientsdf_tpu.tracking.tracker import TrackResult, run_gn_rounds
 from psgradientsdf_tpu.utils import se3
 
 
@@ -69,6 +69,8 @@ def make_sharded_tracker(
     num_iterations: int = 50,
     conv_threshold_sq: float = 1e-6,
     damping: float = 1.0,
+    regather_every: int = 1,
+    early_exit: bool = False,
 ):
     """Builds a jitted multi-chip GN tracker over Z-slab volume shards.
 
@@ -77,6 +79,15 @@ def make_sharded_tracker(
     axis reassembles the global normal equations; the 6x6 solve and pose
     update run replicated.  Single collective per iteration -> ICI-bound
     cost is 4*(1+6+36+1) floats.
+
+    Control flow and step semantics are SHARED with the single-device
+    tracker (tracking/tracker.run_gn_rounds): `early_exit=False` (default)
+    emits a fixed-trip unrolled program — a data-dependent while_loop
+    demotes the body's slab gather from XLA's fast VMEM emitter to the
+    ~3x slower fallback (BASELINE.md "while_loops demote body gathers"),
+    and a static program also keeps the collective sequence identical on
+    every device.  `regather_every=R` runs the hot slab gather once per R
+    iterations against frozen nearest-voxel records (see track_frame).
     """
     Zg = geom.shape_zyx[0]
     n_z = mesh.shape[Z_AXIS]
@@ -117,7 +128,11 @@ def make_sharded_tracker(
         ).reshape(-1, 8)
         X, Y = geom.dims[0], geom.dims[1]
 
-        def local_gn_terms(pose):
+        def gather_records(pose):
+            """Frozen-correspondence gather, slab-local: each shard fetches
+            records only for the pixels whose nearest voxel lies in its
+            Z-slab (`in_slab` folds into ok; other shards contribute zero
+            rows to the Gram psum)."""
             R = pose[:3, :3]
             t = pose[:3, 3]
             p_w = pts_cam @ R.T + t
@@ -136,10 +151,18 @@ def make_sharded_tracker(
             gnorm = jnp.linalg.norm(g3, axis=-1, keepdims=True)
             ghat = g3 / jnp.maximum(gnorm, 1e-12)
             c_v = geom.voxel2world(idx)
+            ok = valid & in_slab & (w > 0.0) & valid_z
+            return d, ghat, c_v, ok
+
+        def masked_gram(pose, rec):
+            """Local Gram + ONE psum — same op order as the single-device
+            tracker's masked_gram, with the reduction split shard-then-psum."""
+            d, ghat, c_v, ok = rec
+            R = pose[:3, :3]
+            t = pose[:3, 3]
+            p_w = pts_cam @ R.T + t
             psi = d + jnp.sum(ghat * (c_v - p_w), axis=-1)
-            mf = (valid_z & valid & in_slab & (w > 0.0)).astype(psi.dtype)
-            # masked Gram reduction (same op order as the single-device
-            # tracker): S = G^T G with G = mask*[J, psi, 1]
+            mf = ok.astype(psi.dtype)
             G = jnp.concatenate(
                 [ghat, jnp.cross(p_w, ghat), psi[:, None],
                  jnp.ones_like(psi)[:, None]],
@@ -150,26 +173,13 @@ def make_sharded_tracker(
             S = jax.lax.psum(S, Z_AXIS)
             return S[6, 6], S[:6, 6], S[:6, :6], S[7, 7]
 
-        def cond(carry):
-            _, k, conv, fail, _, _ = carry
-            return (k < num_iterations) & (~conv) & (~fail)
-
-        def body(carry):
-            pose, k, conv, fail, _, _ = carry
-            E, g, Hm, cnt = local_gn_terms(pose)
-            fail_now = cnt < 0.5
-            E_mean = E / jnp.maximum(cnt, 1.0)
-            Hj = Hm + (1e-6 * jnp.trace(Hm) / 6.0 + 1e-12) * jnp.eye(6, dtype=Hm.dtype)
-            chol = jax.scipy.linalg.cho_factor(Hj)
-            xi = damping * jax.scipy.linalg.cho_solve(chol, g)
-            conv_now = jnp.sum(xi * xi) < conv_threshold_sq
-            new_pose = jnp.where(conv_now | fail_now, pose, se3.se3_exp(-xi) @ pose)
-            return (new_pose, k + 1, conv_now, fail_now, E_mean, cnt.astype(jnp.int32))
-
-        init = (init_pose, jnp.int32(0), jnp.bool_(False), jnp.bool_(False),
-                jnp.float32(0.0), jnp.int32(0))
-        pose, k, conv, fail, E_mean, cnt = jax.lax.while_loop(cond, body, init)
-        return pose, conv & (~fail), k, E_mean, cnt
+        pose, conv, fail, E_mean, cnt, iters = run_gn_rounds(
+            geom, gather_records, masked_gram, init_pose,
+            num_iterations=num_iterations,
+            conv_threshold_sq=conv_threshold_sq, damping=damping,
+            regather_every=regather_every, early_exit=early_exit,
+        )
+        return pose, conv & (~fail), iters, E_mean, cnt
 
     mapped = shard_map(
         tracker_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,

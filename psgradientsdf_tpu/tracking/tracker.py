@@ -72,6 +72,123 @@ def gn_terms(
     return E, g, H, count
 
 
+def run_gn_rounds(
+    geom: GridGeometry,
+    gather_records,
+    masked_gram,
+    init_pose: jax.Array,
+    *,
+    num_iterations: int,
+    conv_threshold_sq: float,
+    damping: float,
+    regather_every: int = 1,
+    early_exit: bool = True,
+):
+    """The frozen-correspondence GN driver shared by the single-device and
+    sharded trackers (identical step semantics — the sharded tracker differs
+    only in that its `masked_gram` psums the Gram reduction over the mesh).
+
+    gather_records(pose) -> rec (opaque pytree of frozen correspondences);
+    masked_gram(pose, rec) -> (E, g[6], H[6,6], count).
+
+    Returns (pose, converged, failed, E_mean, count, iters).  See
+    track_frame for the semantics of rounds / freshness / trust region.
+    """
+    # GN step: updates are MASKED once converged/failed/out-of-budget (pose
+    # frozen at the first converged iterate, step not applied — matching the
+    # reference's return-before-update, RigidPointOptimizer.cpp:66-74).
+    #
+    # `fresh` marks the iteration right after a correspondence gather.
+    # GLOBAL convergence may only be declared on fresh iterations: a frozen
+    # round solves its piecewise-linear subproblem exactly, so a non-fresh
+    # ||xi|| ~ 0 merely says the *subproblem* is done ("stalled") — the next
+    # round regathers and re-checks against fresh correspondences.
+    def gn_step(carry, rec, fresh):
+        pose, conv, fail, stalled, E_mean, count, iters = carry
+        active = (~conv) & (~fail) & (~stalled) & (iters < num_iterations)
+        E, g, Hm, cnt = masked_gram(pose, rec)
+        fail_now = cnt < 0.5
+        # Gauss-Newton step via Cholesky (cpp:66); relative jitter guards
+        # PD-ness on degenerate scenes (the reference's bare llt would
+        # silently produce garbage there).
+        Hj = Hm + (1e-6 * jnp.trace(Hm) / 6.0 + 1e-12) * jnp.eye(6, dtype=Hm.dtype)
+        chol = jax.scipy.linalg.cho_factor(Hj)
+        xi = damping * jax.scipy.linalg.cho_solve(chol, g)
+        small = jnp.sum(xi * xi) < conv_threshold_sq
+        if fresh:
+            conv_now = small
+            stall_now = jnp.bool_(False)
+            trust = jnp.bool_(True)
+        else:
+            # trust region for frozen correspondences: a frozen step is only
+            # applied while it moves every point by well under a voxel
+            # (displacement bound ||v|| + lever * ||w||); larger steps end
+            # the round so the next gather refreshes the correspondences.
+            # Valid points lie inside the grid, so the grid bounding sphere
+            # is the rotation lever.
+            lever = (
+                sum(s * s for s in geom.shift) ** 0.5
+                + 0.867 * max(geom.dims) * geom.voxel_size
+            )
+            disp = jnp.linalg.norm(xi[:3]) + lever * jnp.linalg.norm(xi[3:])
+            trust = disp < 0.25 * geom.voxel_size
+            conv_now = jnp.bool_(False)
+            stall_now = small | ~trust
+        # converged -> keep pose (reference returns before applying the step)
+        step_ok = active & trust & ~(small | fail_now)
+        new_pose = jnp.where(step_ok, se3.se3_exp(-xi) @ pose, pose)
+        # a stalling frozen iteration performs no reference-visible work:
+        # it does not consume GN budget
+        counted = active & ~stall_now
+        return (
+            new_pose,
+            jnp.where(active, conv_now, conv),
+            jnp.where(active, fail_now, fail),
+            jnp.where(active, stall_now, stalled),
+            jnp.where(counted, E / jnp.maximum(cnt, 1.0), E_mean),
+            jnp.where(counted, cnt.astype(jnp.int32), count),
+            iters + counted.astype(jnp.int32),
+        )
+
+    def round_body(carry):
+        """One gather + `regather_every` frozen GN steps."""
+        rec = gather_records(carry[0])
+        carry = gn_step(carry, rec, fresh=True)
+        for _ in range(regather_every - 1):
+            carry = gn_step(carry, rec, fresh=False)
+        # clear the round-local stall flag
+        return carry[:3] + (jnp.bool_(False),) + carry[4:]
+
+    init = (
+        init_pose,
+        jnp.bool_(False),   # converged
+        jnp.bool_(False),   # failed
+        jnp.bool_(False),   # stalled (round-local)
+        jnp.float32(0.0),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    if early_exit:
+        pose, conv, fail, _, E_mean, count, iters = jax.lax.while_loop(
+            lambda c: (c[6] < num_iterations) & (~c[1]) & (~c[2]),
+            round_body,
+            init,
+        )
+    else:
+        # fixed-trip: ceil(num/R) rounds exhaust the budget when no round
+        # stalls (always true at conv_threshold_sq=0, the static-control-flow
+        # use case); with a nonzero threshold a stalled round under-consumes
+        # budget and the solve finishes early at the stalled iterate.
+        # fully unrolled: dynamic-trip loops host-sync per trip on remote
+        # runtimes (measured ~2.4 ms/trip on the axon tunnel), static
+        # programs pipeline freely
+        n_rounds = -(-num_iterations // regather_every)
+        pose, conv, fail, _, E_mean, count, iters = jax.lax.fori_loop(
+            0, n_rounds, lambda k, c: round_body(c), init, unroll=True
+        )
+    return pose, conv, fail, E_mean, count, iters
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -167,99 +284,11 @@ def track_frame(
         S = G.T @ G
         return S[6, 6], S[:6, 6], S[:6, :6], S[7, 7]
 
-    # GN step shared by both control-flow variants: updates are MASKED
-    # once converged/failed/out-of-budget (pose frozen at the first
-    # converged iterate, step not applied — matching the reference's
-    # return-before-update).
-    #
-    # `fresh` marks the iteration right after a correspondence gather.
-    # GLOBAL convergence may only be declared on fresh iterations: a frozen
-    # round solves its piecewise-linear subproblem exactly, so a non-fresh
-    # ||xi|| ~ 0 merely says the *subproblem* is done ("stalled") — the next
-    # round regathers and re-checks against fresh correspondences.
-    def gn_step(carry, rec, fresh):
-        pose, conv, fail, stalled, E_mean, count, iters = carry
-        active = (~conv) & (~fail) & (~stalled) & (iters < num_iterations)
-        E, g, Hm, cnt = masked_gram(pose, rec)
-        fail_now = cnt < 0.5
-        # Gauss-Newton step via Cholesky (cpp:66); relative jitter guards
-        # PD-ness on degenerate scenes (the reference's bare llt would
-        # silently produce garbage there).
-        Hj = Hm + (1e-6 * jnp.trace(Hm) / 6.0 + 1e-12) * jnp.eye(6, dtype=Hm.dtype)
-        chol = jax.scipy.linalg.cho_factor(Hj)
-        xi = damping * jax.scipy.linalg.cho_solve(chol, g)
-        small = jnp.sum(xi * xi) < conv_threshold_sq
-        if fresh:
-            conv_now = small
-            stall_now = jnp.bool_(False)
-            trust = jnp.bool_(True)
-        else:
-            # trust region for frozen correspondences: a frozen step is only
-            # applied while it moves every point by well under a voxel
-            # (displacement bound ||v|| + lever * ||w||); larger steps end
-            # the round so the next gather refreshes the correspondences.
-            # Valid points lie inside the grid, so the grid bounding sphere
-            # is the rotation lever.
-            lever = (
-                sum(s * s for s in geom.shift) ** 0.5
-                + 0.867 * max(geom.dims) * geom.voxel_size
-            )
-            disp = jnp.linalg.norm(xi[:3]) + lever * jnp.linalg.norm(xi[3:])
-            trust = disp < 0.25 * geom.voxel_size
-            conv_now = jnp.bool_(False)
-            stall_now = small | ~trust
-        # converged -> keep pose (reference returns before applying the step)
-        step_ok = active & trust & ~(small | fail_now)
-        new_pose = jnp.where(step_ok, se3.se3_exp(-xi) @ pose, pose)
-        # a stalling frozen iteration performs no reference-visible work:
-        # it does not consume GN budget
-        counted = active & ~stall_now
-        return (
-            new_pose,
-            jnp.where(active, conv_now, conv),
-            jnp.where(active, fail_now, fail),
-            jnp.where(active, stall_now, stalled),
-            jnp.where(counted, E / jnp.maximum(cnt, 1.0), E_mean),
-            jnp.where(counted, cnt.astype(jnp.int32), count),
-            iters + counted.astype(jnp.int32),
-        )
-
-    def round_body(carry):
-        """One gather + `regather_every` frozen GN steps."""
-        rec = gather_records(carry[0])
-        carry = gn_step(carry, rec, fresh=True)
-        for _ in range(regather_every - 1):
-            carry = gn_step(carry, rec, fresh=False)
-        # clear the round-local stall flag
-        return carry[:3] + (jnp.bool_(False),) + carry[4:]
-
-    init = (
-        init_pose,
-        jnp.bool_(False),   # converged
-        jnp.bool_(False),   # failed
-        jnp.bool_(False),   # stalled (round-local)
-        jnp.float32(0.0),
-        jnp.int32(0),
-        jnp.int32(0),
+    pose, conv, fail, E_mean, count, iters = run_gn_rounds(
+        geom, gather_records, masked_gram, init_pose,
+        num_iterations=num_iterations, conv_threshold_sq=conv_threshold_sq,
+        damping=damping, regather_every=regather_every, early_exit=early_exit,
     )
-    if early_exit:
-        pose, conv, fail, _, E_mean, count, iters = jax.lax.while_loop(
-            lambda c: (c[6] < num_iterations) & (~c[1]) & (~c[2]),
-            round_body,
-            init,
-        )
-    else:
-        # fixed-trip: ceil(num/R) rounds exhaust the budget when no round
-        # stalls (always true at conv_threshold_sq=0, the static-control-flow
-        # use case); with a nonzero threshold a stalled round under-consumes
-        # budget and the solve finishes early at the stalled iterate.
-        # fully unrolled: dynamic-trip loops host-sync per trip on remote
-        # runtimes (measured ~2.4 ms/trip on the axon tunnel), static
-        # programs pipeline freely
-        n_rounds = -(-num_iterations // regather_every)
-        pose, conv, fail, _, E_mean, count, iters = jax.lax.fori_loop(
-            0, n_rounds, lambda k, c: round_body(c), init, unroll=True
-        )
     return TrackResult(
         pose=pose,
         converged=conv & (~fail),

@@ -146,6 +146,62 @@ def test_sharded_tracker_matches_single_device(mesh8, scene):
     )
 
 
+def test_sharded_tracker_is_static_program(mesh8, scene):
+    """The default sharded tracker must emit NO while loop: a data-dependent
+    while demotes the body's payload gather from XLA's fast VMEM emitter to
+    the ~3x slower fallback (BASELINE.md: 1.21 -> 3.65 ms/iter measured on
+    the single-device tracker), so the production path is fixed-trip with
+    frozen-correspondence rounds."""
+    geom, T = scene["geom"], scene["truncation"]
+    depth = scene["frames"][0]["depth"]
+    tracker = shard.make_sharded_tracker(
+        mesh8, geom, depth.shape, truncation=T, zmin=0.1, zmax=5.0,
+        num_iterations=8, conv_threshold_sq=1e-6, damping=1.0,
+        regather_every=4,
+    )
+    lowered = tracker.lower(
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                     scene["vol"]),
+        jax.ShapeDtypeStruct(depth.shape, jnp.float32),
+        jax.ShapeDtypeStruct((3, 3), jnp.float32),
+        jax.ShapeDtypeStruct((4, 4), jnp.float32),
+    )
+    hlo = lowered.as_text()
+    assert "stablehlo.while" not in hlo and "mhlo.while" not in hlo, (
+        "sharded tracker lowered with a while loop — gather emitter demotion"
+    )
+    # and it still produces 8/4 = 2 gather rounds (frozen correspondences):
+    # the payload gather appears once per round, not once per iteration
+    n_big_gathers = hlo.count("stablehlo.dynamic_gather") + hlo.count(
+        '"stablehlo.gather"')
+    assert n_big_gathers > 0
+
+
+def test_sharded_tracker_regather_matches(mesh8, scene):
+    """The production frozen-correspondence path (fixed-trip, regather_every
+    > 1) under sharding must reproduce the SAME algorithm run single-device
+    — only the f32 reduction order differs (psum vs global Gram)."""
+    geom, vol, K, T = scene["geom"], scene["vol"], scene["K"], scene["truncation"]
+    depth = scene["frames"][0]["depth"]
+    xi = jnp.array([0.01, -0.008, 0.012, 0.004, -0.006, 0.005], dtype=jnp.float32)
+    init = se3.se3_exp(xi)
+    vol_sh = mesh_mod.shard_volume(vol, mesh8)
+
+    kw = dict(truncation=T, zmin=0.1, zmax=5.0, num_iterations=20,
+              conv_threshold_sq=1e-6, damping=1.0)
+    frozen = shard.make_sharded_tracker(
+        mesh8, geom, depth.shape, **kw, regather_every=5,
+    )
+    res_sh = frozen(vol_sh, depth, K, init)
+    res_ref = track_frame(vol, geom, depth, K, init, **kw,
+                          regather_every=5, early_exit=False)
+    assert int(res_sh.iterations) == int(res_ref.iterations)
+    assert int(res_sh.num_valid) == int(res_ref.num_valid)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.pose), np.asarray(res_ref.pose), atol=5e-5
+    )
+
+
 def test_sharded_eikonal_energy(mesh8, scene):
     geom, vol, T = scene["geom"], scene["vol"], scene["truncation"]
     band = np.sqrt(3.0) * geom.voxel_size
