@@ -27,6 +27,13 @@ def main(argv=None) -> int:
                     help="write the run summary to this JSON file")
     ap.add_argument("--platform", default="", choices=["", "cpu", "tpu", "gpu", "axon"],
                     help="force a jax platform (e.g. cpu) before any device use")
+    ap.add_argument("--mesh", default="", metavar="ZxF",
+                    help="device mesh for multi-chip execution, e.g. 4x2 "
+                         "(Z-slab shards x keyframe shards) or just 8 "
+                         "(all-z); overrides the config's \"mesh shape\". "
+                         "Routes the scan through the shard_map/psum "
+                         "tracker + sharded fusion and the refinement "
+                         "through the GSPMD blocks (SURVEY §5.7-5.8)")
     ap.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
                     help="save a resumable checkpoint every N scan frames "
                          "and every N refinement iterations")
@@ -66,6 +73,13 @@ def main(argv=None) -> int:
 
     print(f"load the config file from: {args.config_file}")
     cfg = load_config(args.config_file)
+    if args.mesh:
+        parts = args.mesh.lower().split("x")
+        try:
+            cfg.tpu.mesh_z = int(parts[0])
+            cfg.tpu.mesh_frames = int(parts[1]) if len(parts) > 1 else 1
+        except (ValueError, IndexError):
+            ap.error(f"--mesh expects ZxF or Z, got {args.mesh!r}")
 
     import contextlib
     if args.profile:

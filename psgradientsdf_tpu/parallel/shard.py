@@ -58,7 +58,7 @@ def sharded_fuse_frame(mesh: Mesh, geom: GridGeometry, **static_kwargs):
 
 # ---------------------------------------------------------- tracking (psum)
 
-def make_sharded_tracker(
+def sharded_tracker_fn(
     mesh: Mesh,
     geom: GridGeometry,
     img_shape: Tuple[int, int],
@@ -71,8 +71,11 @@ def make_sharded_tracker(
     damping: float = 1.0,
     regather_every: int = 1,
     early_exit: bool = False,
+    stride: int = 1,
 ):
-    """Builds a jitted multi-chip GN tracker over Z-slab volume shards.
+    """The shard_map'd multi-chip GN tracker over Z-slab volume shards —
+    traceable, so it composes inside larger jitted programs (the stream
+    executor's chunk step); make_sharded_tracker wraps it in its own jit.
 
     Per GN iteration each shard computes (E, g, H, count) from the pixels
     whose world points fall inside its slab, then one psum over the "z"
@@ -103,8 +106,10 @@ def make_sharded_tracker(
         z0 = jax.lax.axis_index(Z_AXIS) * Zl
         fx, fy = K[0, 0], K[1, 1]
         cx, cy = K[0, 2], K[1, 2]
-        cols = jnp.arange(W, dtype=jnp.float32)[None, :]
-        rows = jnp.arange(H, dtype=jnp.float32)[:, None]
+        # `depth` arrives pre-subsampled when stride > 1; reconstruct the
+        # original pixel coordinates (track_frame's optimize_sampled knob)
+        cols = (jnp.arange(W, dtype=jnp.float32) * stride)[None, :]
+        rows = (jnp.arange(H, dtype=jnp.float32) * stride)[:, None]
         x0 = (cols - cx) / fx
         y0 = (rows - cy) / fy
         pts_cam = jnp.stack(
@@ -183,16 +188,20 @@ def make_sharded_tracker(
 
     mapped = shard_map(
         tracker_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        
     )
 
-    @jax.jit
     def track(vol, depth, K, init_pose) -> TrackResult:
         pose, conv, k, E, cnt = mapped(vol, depth, K, init_pose)
         return TrackResult(pose=pose, converged=conv, iterations=k,
                            energy=E, num_valid=cnt)
 
     return track
+
+
+def make_sharded_tracker(mesh: Mesh, geom: GridGeometry,
+                         img_shape: Tuple[int, int], **hyp):
+    """Jitted standalone wrapper of sharded_tracker_fn (see its docstring)."""
+    return jax.jit(sharded_tracker_fn(mesh, geom, img_shape, **hyp))
 
 
 # ------------------------------------------------- dense stencils (halos)

@@ -86,6 +86,19 @@ class ReconstructionPipeline:
         self.checkpoint_every = checkpoint_every
         self.resume = resume
         self.compile_cache_dir = compile_cache_dir
+        # multi-chip product path (SURVEY §5.7-5.8): a z x frames device
+        # mesh from the config routes the scan through the shard_map/psum
+        # tracker + Z-slab-sharded fusion and the refinement through the
+        # GSPMD-sharded blocks.  mesh 1x1 (default) = single device.
+        self.mesh = None
+        if cfg.tpu.mesh_z * cfg.tpu.mesh_frames > 1:
+            from psgradientsdf_tpu.parallel.mesh import make_mesh
+
+            if cfg.tpu.grid_dim[2] % cfg.tpu.mesh_z != 0:
+                raise ValueError(
+                    f"grid Z={cfg.tpu.grid_dim[2]} not divisible by mesh "
+                    f"z={cfg.tpu.mesh_z}")
+            self.mesh = make_mesh(cfg.tpu.mesh_z, cfg.tpu.mesh_frames)
         base = loader or make_loader(cfg.tracking.datatype, cfg.tracking.input)
         # decode-ahead workers hide PNG decode behind device compute; raw mode
         # ships uint8/uint16 over the wire (3.7x less host->device transfer,
@@ -169,6 +182,10 @@ class ReconstructionPipeline:
 
             self.vol, self.geom, state, key_images_r = ckpt.load_scan_state(
                 self.resume)
+            if self.mesh is not None:
+                from psgradientsdf_tpu.parallel.mesh import shard_volume
+
+                self.vol = shard_volume(self.vol, self.mesh)
             cur_pose = np.asarray(state.cur_pose, np.float32)
             pose_lines = list(state.pose_lines)
             key_indices = list(state.key_indices)
@@ -195,6 +212,10 @@ class ReconstructionPipeline:
             )
             self.timer.tic()
             self.vol = make_volume(self.geom, truncation, cfg.tpu.frame_cap)
+            if self.mesh is not None:
+                from psgradientsdf_tpu.parallel.mesh import shard_volume
+
+                self.vol = shard_volume(self.vol, self.mesh)
             self.timer.toc("create_sdf", self.vol.dist)
             cur_pose = base_pose
             self._fuse(color, depth, jnp.asarray(base_pose), 0)
@@ -241,6 +262,7 @@ class ReconstructionPipeline:
                 use_gt=gt, depth_unit=self._depth_unit,
                 regather_every=cfg.tpu.track_regather,
                 early_exit=not cfg.tpu.track_static,
+                mesh=self.mesh,
             )
             poses = np.asarray(res.poses)
             conv = np.asarray(res.converged)
@@ -331,6 +353,7 @@ class ReconstructionPipeline:
             self.refiner = PhotometricRefiner(
                 self.vol, self.geom, cfg.optimizer, self.K,
                 save_path=out, truncation=truncation, metrics=self.metrics,
+                mesh=self.mesh,
             )
             self.refiner.set_keyframes(
                 np.stack(key_images), np.stack(key_poses), key_indices, key_stamps
@@ -385,8 +408,10 @@ class ReconstructionPipeline:
         self.refiner = PhotometricRefiner(
             None, None, self.cfg.optimizer, self.K,
             save_path=out, truncation=truncation, metrics=self.metrics,
+            mesh=self.mesh,
         )
         ckpt.load_refine_state(self.resume, self.refiner)
+        self.refiner.place_on_mesh()
         it = (self.refiner.loop_state or {}).get("it", 0)
         self.metrics.log("resume", path=self.resume, phase="refine", iter=it)
         summary: Dict = dict(resumed_refine_iter=it, frames=0, keyframes=len(

@@ -355,10 +355,17 @@ class PhotometricRefiner:
         truncation: float = None,
         metrics: Optional[MetricsLogger] = None,
         laplacian_diag_only: bool = False,
+        mesh=None,
     ):
         self.vol = vol
         self.geom = geom
         self.cfg = cfg
+        # optional jax.sharding.Mesh: the refinement arrays are placed with
+        # the surface-voxel axis sharded over "z" and keyframes over
+        # "frames"; the jitted blocks then partition under GSPMD with psums
+        # over the voxel shards (tested sharded == single-device in
+        # tests/test_parallel.py)
+        self.mesh = mesh
         self.K = jnp.asarray(K, dtype=jnp.float32)
         self.save_path = save_path
         self.truncation = truncation
@@ -411,6 +418,8 @@ class PhotometricRefiner:
         n = int(self.prob.n_surface)
         self.metrics.log("refine_init", surface_voxels=n, keyframes=len(self.keyframe_indices))
 
+        self.place_on_mesh()
+
         if self.cfg.model == LED:
             self.lights = jnp.ones(3, dtype=jnp.float32)
             self._init_led_light()
@@ -420,6 +429,35 @@ class PhotometricRefiner:
             dirs = jnp.einsum("fij,j->fi", R, s)
             basis = sh_mod.sh_basis(dirs, self.cfg.order)     # [F,B]
             self.lights = basis.at[:, 0].set(0.02)
+
+    def place_on_mesh(self) -> None:
+        """Shard the problem arrays on self.mesh (no-op without one):
+        surface-voxel axis over "z", keyframe images over "frames"."""
+        if self.mesh is None or self.prob is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from psgradientsdf_tpu.parallel.mesh import Z_AXIS
+        from psgradientsdf_tpu.parallel.shard import shard_refine_arrays
+
+        self.prob, self.images = shard_refine_arrays(
+            self.mesh, self.prob, self.images)
+        n_z = self.mesh.shape[Z_AXIS]
+
+        def n_spec(a):
+            if a.ndim == 0 or a.shape[0] % n_z != 0:
+                return P()
+            return P(Z_AXIS, *([None] * (a.ndim - 1)))
+
+        for name in ("dist", "albedo", "grad_stored"):
+            a = getattr(self, name)
+            if a is not None:
+                setattr(self, name, jax.device_put(
+                    a, NamedSharding(self.mesh, n_spec(a))))
+        for name in ("poses", "lights", "K"):
+            a = getattr(self, name)
+            if a is not None:
+                setattr(self, name, jax.device_put(
+                    a, NamedSharding(self.mesh, P())))
 
     def _init_led_light(self) -> None:
         """Intensity-ratio light init (LedOptimizer.cpp:76-112)."""
@@ -655,6 +693,7 @@ class PhotometricRefiner:
         self.dist = self.prob.dist
         self.albedo = self.prob.albedo
         self.grad_stored = self.prob.grad_stored
+        self.place_on_mesh()
         self.metrics.log(
             "upsample", voxel_size=self.geom.voxel_size,
             dims=list(self.geom.dims), surface_voxels=int(self.prob.n_surface),

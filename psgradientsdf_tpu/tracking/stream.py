@@ -76,7 +76,7 @@ def _preprocess(depths: jax.Array, colors: jax.Array, fals: FalsCache,
     jax.jit,
     static_argnames=(
         "geom", "truncation", "zmin", "zmax", "num_iterations", "stride",
-        "use_gt", "depth_unit", "regather_every", "early_exit",
+        "use_gt", "depth_unit", "regather_every", "early_exit", "mesh",
     ),
 )
 def _chunk_step(
@@ -103,8 +103,14 @@ def _chunk_step(
     depth_unit: float = 1.0,
     regather_every: int = 1,
     early_exit: bool = True,
+    mesh=None,
 ):
-    """One frame: masked GN track + gated fuse, all static control flow."""
+    """One frame: masked GN track + gated fuse, all static control flow.
+
+    With `mesh` set (a jax.sharding.Mesh with a "z" axis), tracking runs as
+    the shard_map/psum GN solver over Z-slab volume shards and the fused
+    volume's Z-slab sharding is pinned with with_sharding_constraint — the
+    multi-chip product path (SURVEY §5.7-5.8)."""
     depth, color = _to_metric(depth, color, depth_unit)
     if use_gt:
         new_pose = gtp
@@ -113,14 +119,31 @@ def _chunk_step(
         energy = jnp.float32(0.0)
         nvalid = jnp.int32(0)
     else:
-        res = track_frame(
-            vol, geom, depth, K, pose,
-            truncation=truncation, zmin=zmin, zmax=zmax,
-            num_iterations=num_iterations,
-            conv_threshold_sq=conv_threshold_sq,
-            damping=damping, stride=stride, regather_every=regather_every,
-            early_exit=early_exit,
-        )
+        if mesh is not None:
+            from psgradientsdf_tpu.parallel.shard import sharded_tracker_fn
+
+            if stride > 1:
+                depth_t = depth[::stride, ::stride]
+            else:
+                depth_t = depth
+            track = sharded_tracker_fn(
+                mesh, geom, depth_t.shape,
+                truncation=truncation, zmin=zmin, zmax=zmax,
+                num_iterations=num_iterations,
+                conv_threshold_sq=conv_threshold_sq, damping=damping,
+                regather_every=regather_every, early_exit=False,
+                stride=stride,
+            )
+            res = track(vol, depth_t, K, pose)
+        else:
+            res = track_frame(
+                vol, geom, depth, K, pose,
+                truncation=truncation, zmin=zmin, zmax=zmax,
+                num_iterations=num_iterations,
+                conv_threshold_sq=conv_threshold_sq,
+                damping=damping, stride=stride, regather_every=regather_every,
+                early_exit=early_exit,
+            )
         new_pose = jnp.where(ok, res.pose, pose)
         conv = res.converged & ok
         iters, energy, nvalid = res.iterations, res.energy, res.num_valid
@@ -130,6 +153,13 @@ def _chunk_step(
         vol, geom, color, depth, n_img, n_sq_inv, K, new_pose, fid, do_fuse,
         truncation=truncation, zmin=zmin, zmax=zmax,
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from psgradientsdf_tpu.parallel.mesh import volume_specs
+
+        vol = jax.lax.with_sharding_constraint(
+            vol, GradSdfVolume(*(NamedSharding(mesh, s)
+                                 for s in volume_specs())))
     # non-converged tracking still advances the pose estimate
     # (the reference's pose_ member retains the last GN iterate)
     pose_out = jnp.where(ok, new_pose, pose)
@@ -160,6 +190,7 @@ def process_chunk(
     depth_unit: float = 1.0,
     regather_every: int = 1,
     early_exit: bool = True,
+    mesh=None,
 ) -> Tuple[GradSdfVolume, ChunkResult]:
     """Track + fuse a chunk of frames with pipelined dispatch.
 
@@ -178,7 +209,7 @@ def process_chunk(
         geom=geom, truncation=truncation, zmin=zmin, zmax=zmax,
         num_iterations=num_iterations, conv_threshold_sq=conv_threshold_sq,
         damping=damping, stride=stride, use_gt=use_gt, depth_unit=depth_unit,
-        regather_every=regather_every, early_exit=early_exit,
+        regather_every=regather_every, early_exit=early_exit, mesh=mesh,
     )
     pose = init_pose
     outs = []

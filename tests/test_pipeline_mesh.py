@@ -1,0 +1,135 @@
+"""End-to-end multi-chip product path: the SAME pipeline entry point
+(ReconstructionPipeline / CLI `--mesh`) run on the 8-virtual-device CPU mesh
+must reproduce the single-device run.
+
+This is the rebuild's headline scaling axis reachable from the product
+entry point (the reference's one-binary orchestration, main_ps.cpp:41):
+Z-slab-sharded fusion + shard_map/psum GN tracking + GSPMD refinement
+blocks, wired through pipeline.py — not hand-assembled library calls.
+"""
+
+import copy
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from psgradientsdf_tpu.config import parse_config
+from psgradientsdf_tpu.pipeline import ReconstructionPipeline
+from psgradientsdf_tpu.io.trajectory import read_trajectory
+
+from test_e2e_led_cli import make_led_dataset
+from test_e2e_tum_tracking import make_tum_dataset
+
+
+def _base_cfg(data, out):
+    return {
+        "input": data,
+        "output": out,
+        "pose filename": "pose.txt",
+        "datatype": "led",
+        "first": 0,
+        "last": 5,
+        "voxel size": 0.02,
+        "truncation factor": 5,
+        "zmin": 0.3,
+        "zmax": 3.5,
+        "sharpness threshold": 0.0,
+        "model type": "SH1",
+        "loss function": "cauchy",
+        "lambda": 0.2,
+        "reg norm": 0.5,
+        "max iter": 2,
+        "grid dim": 32,
+    }
+
+
+def test_pipeline_mesh_matches_single_device(tmp_path):
+    """GT-pose scan + 2 refinement iterations: mesh 4x2 == single device.
+
+    GT poses make the scan deterministic on both paths (fusion is bit-exact
+    under sharding — test_parallel), so the volumes must agree to f32
+    reduction noise and the refinement energy traces must match closely."""
+    data = str(tmp_path / "data") + "/"
+    make_led_dataset(data)
+
+    results = {}
+    for tag, mesh in (("single", None), ("mesh", {"z": 4, "frames": 2})):
+        out = str(tmp_path / f"out_{tag}") + "/"
+        raw = _base_cfg(data, out)
+        if mesh:
+            raw["mesh shape"] = mesh
+        cfg = parse_config(raw)
+        pipe = ReconstructionPipeline(cfg, prefetch=False)
+        summary = pipe.run(refine=True)
+        results[tag] = dict(
+            summary=summary,
+            dist=np.asarray(pipe.vol.dist),
+            weight=np.asarray(pipe.vol.weight),
+            refiner_dist=np.asarray(pipe.refiner.dist),
+            poses=np.asarray(pipe.refiner.poses),
+            lights=np.asarray(pipe.refiner.lights),
+            out=out,
+        )
+        if mesh:
+            # the sharded run really ran sharded
+            assert pipe.mesh is not None
+            assert "z" in str(pipe.refiner.prob.dist.sharding.spec) or (
+                pipe.refiner.prob.dist.sharding.is_fully_replicated
+                is False), pipe.refiner.prob.dist.sharding
+
+    s, m = results["single"], results["mesh"]
+    assert s["summary"]["frames"] == m["summary"]["frames"]
+    assert s["summary"]["keyframes"] == m["summary"]["keyframes"]
+    np.testing.assert_allclose(m["dist"], s["dist"], atol=1e-5)
+    np.testing.assert_allclose(m["weight"], s["weight"], atol=1e-5)
+    np.testing.assert_allclose(m["refiner_dist"], s["refiner_dist"], atol=2e-4)
+    np.testing.assert_allclose(m["poses"], s["poses"], atol=2e-4)
+    np.testing.assert_allclose(m["lights"], s["lights"], atol=2e-4)
+    # artifacts written by both paths
+    for tag in ("single", "mesh"):
+        o = results[tag]["out"]
+        assert os.path.exists(os.path.join(o, "init_mesh.ply"))
+        assert os.path.exists(os.path.join(o, "tracking_poses.txt"))
+
+
+def test_pipeline_mesh_tracking(tmp_path):
+    """No GT poses: the sharded (shard_map/psum) tracker drives the scan
+    through the pipeline and lands within the single-device run's ATE."""
+    data = str(tmp_path / "data") + "/"
+    make_tum_dataset(data, n_frames=8)
+
+    ates = {}
+    for tag, mesh in (("single", None), ("mesh", {"z": 4, "frames": 1})):
+        out = str(tmp_path / f"out_{tag}") + "/"
+        raw = {
+            "input": data,
+            "output": out,
+            "pose filename": "missing_pose.txt",   # force tracking
+            "datatype": "tum",
+            "first": 0,
+            "last": 7,
+            "voxel size": 0.02,
+            "truncation factor": 5,
+            "zmin": 0.3,
+            "zmax": 3.5,
+            "sharpness threshold": 0.0,
+            "grid dim": 32,
+        }
+        if mesh:
+            raw["mesh shape"] = mesh
+        cfg = parse_config(raw)
+        pipe = ReconstructionPipeline(cfg, prefetch=False)
+        summary = pipe.run(refine=False)
+        assert summary["frames"] == 8
+        est_st, est = read_trajectory(os.path.join(out, "tracking_poses.txt"))
+        gt_st, gt = read_trajectory(os.path.join(data, "groundtruth.txt"))
+        from psgradientsdf_tpu.io.trajectory import ate_rmse
+        ates[tag] = ate_rmse(est, gt)
+
+    # both track well (same bound as the single-device e2e test) and agree
+    assert ates["mesh"] < 0.01, ates
+    assert abs(ates["mesh"] - ates["single"]) < 2e-3, ates

@@ -79,4 +79,4 @@ def test_evaluate_ate_no_overlap(tmp_path):
     assert write_trajectory(est_f, ["1.0"], _random_traj(1, 4))
     assert write_trajectory(gt_f, ["9.0"], _random_traj(1, 5))
     res = evaluate_ate(est_f, gt_f)
-    assert res["pairs"] == 0 and np.isnan(res["ate_rmse"])
+    assert res["pairs"] == 0 and res["ate_rmse"] is None
