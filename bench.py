@@ -106,7 +106,9 @@ def run_tpu() -> dict:
     import jax.numpy as jnp
 
     from psgradientsdf_tpu.core.grid import GridGeometry
-    from psgradientsdf_tpu.core.volume import fuse_frame, make_volume
+    from psgradientsdf_tpu.core.volume import (
+        count_active_rows, fuse_frame, fuse_frame_culled, make_volume,
+    )
     from psgradientsdf_tpu.tracking.tracker import track_frame
     from psgradientsdf_tpu.utils import se3
 
@@ -153,6 +155,13 @@ def run_tpu() -> dict:
 
     # build the map from frame 0 (also pays compile + first-D2H tax)
     vol = fuse_frame(vol, geom, color, depth, normals, nsq, K, eye, jnp.int32(0), **fuse_kw)
+    # row-culled fusion capacity: size from the level-1 cull of this scene
+    # (+20% pose-drift margin, multiple of 512); exactness is guaranteed by
+    # the overflow flag, asserted after every timed run
+    n_act = int(count_active_rows(geom, depth, K, eye, **fuse_kw))
+    CAP = min(DIM * DIM, -(-int(n_act * 1.2) // 512) * 512)
+    log(f"[bench] fusion cull: {n_act}/{DIM*DIM} active rows -> capacity {CAP} "
+        f"({CAP*DIM/1e6:.2f}M gather idx vs {DIM**3/1e6:.2f}M full)")
     res = track_frame(vol, geom, depth, K, off,
                       **{**track_kw, "early_exit": True, "num_iterations": 50,
                          "regather_every": 1})
@@ -182,34 +191,38 @@ def run_tpu() -> dict:
     CHUNK = 10
 
     @jax.jit
-    def step_chunk(vol, pose, iters, fid0, off_m):
+    def step_chunk(vol, pose, iters, fid0, off_m, ovf):
         # one executable per CHUNK frames (the chunked stream-executor
         # dispatch granularity): per frame, a frozen-correspondence GN
         # round (the hot voxel gather runs once; validated to converge to
         # the reference pose — tests/test_tracker.py::test_tracker_regather_*)
-        # then fusion at the tracked pose.
+        # then ROW-CULLED fusion at the tracked pose (exact-superset cull,
+        # core/volume.fuse_frame_culled; overflow OR-ed into the carry and
+        # asserted false after the run).
         def body(k, carry):
-            vol, pose, iters = carry
+            vol, pose, iters, ovf = carry
             seed = off_m @ pose
             res = track_frame(vol, geom, depth, K, seed, **track_kw)
-            vol = fuse_frame(
+            vol, ov = fuse_frame_culled(
                 vol, geom, color, depth, normals, nsq, K, res.pose,
-                jnp.int32(1) + (fid0 + k) % 60, **fuse_kw
+                jnp.int32(1) + (fid0 + k) % 60, **fuse_kw, row_capacity=CAP
             )
-            return vol, res.pose, iters + res.iterations
-        return jax.lax.fori_loop(0, CHUNK, body, (vol, pose, iters))
+            return vol, res.pose, iters + res.iterations, ovf | ov
+        return jax.lax.fori_loop(0, CHUNK, body, (vol, pose, iters, ovf))
 
     def run_frames(vol, off_m):
         pose = eye
         iters = jnp.int32(0)
+        ovf = jnp.bool_(False)
         for c in range(FRAMES_TPU // CHUNK):
-            vol, pose, iters = step_chunk(vol, pose, iters,
-                                          jnp.int32(c * CHUNK), off_m)
-        return vol, iters
+            vol, pose, iters, ovf = step_chunk(vol, pose, iters,
+                                               jnp.int32(c * CHUNK), off_m, ovf)
+        return vol, iters, ovf
 
     off_warm = jnp.asarray(off_np @ off_np)       # distinct warmup inputs
-    volw, _ = run_frames(vol, off_warm)           # compile + warm the chain
+    volw, _, ovw = run_frames(vol, off_warm)      # compile + warm the chain
     _ = float(jnp.sum(volw.dist))                 # real completion fence
+    assert not bool(ovw), "fusion cull capacity overflow in warmup"
     # best of 3 measured intervals: tunnel RPC/queue noise moved single-shot
     # numbers by up to 20% run to run.  Each rep's inputs are distinct
     # (the fused volume evolves and carries into the next rep) so the
@@ -217,9 +230,10 @@ def run_tpu() -> dict:
     dt = 1e18
     for _rep in range(3):
         t0 = time.perf_counter()
-        vol, its = run_frames(vol, off)
+        vol, its, ovf = run_frames(vol, off)
         _ = float(jnp.sum(vol.dist))              # real completion fence
         dt = min(dt, time.perf_counter() - t0)
+    assert not bool(ovf), "fusion cull capacity overflow in timed run"
     fps = FRAMES_TPU / dt
     iters = int(its)
 

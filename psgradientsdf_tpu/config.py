@@ -90,6 +90,12 @@ class TpuConfig:
                                   # while demotes the body's gather emitter
                                   # (BASELINE.md); budget should then be
                                   # set to the typical convergence count
+    fuse_rows: float = 0.5        # row-culled fusion: initial capacity as a
+                                  # fraction of the Z*Y row count (0 = every
+                                  # frame gathers all voxels, the reference
+                                  # behavior). Exactness is guaranteed: on
+                                  # capacity overflow the pipeline redoes
+                                  # the chunk at a grown capacity.
     chunk_size: int = 8           # frames per on-device scan dispatch
     dtype: str = "float32"
 
@@ -197,6 +203,8 @@ def parse_config(cfg: dict, save_copy: bool = True) -> PipelineConfig:
         tpu.track_regather = max(1, int(cfg["track regather"]))
     if "track static" in cfg:
         tpu.track_static = bool(cfg["track static"])
+    if "fuse rows" in cfg:
+        tpu.fuse_rows = float(cfg["fuse rows"])
     if "chunk size" in cfg:
         tpu.chunk_size = max(1, int(cfg["chunk size"]))
 

@@ -58,6 +58,97 @@ def fusion_weight(sdf: jax.Array, T: float) -> jax.Array:
     return jnp.where(sdf >= 0.0, 1.0, jnp.where(sdf >= -T, 1.0 + sdf / T, 0.0))
 
 
+def _fuse_voxel_update(
+    p_w: jax.Array,        # [...,3] voxel-center world coords
+    dist: jax.Array,       # [...] current state (same leading shape)
+    grad: jax.Array,       # [...,3]
+    weight: jax.Array,     # [...]
+    color_v: jax.Array,    # [...,3]
+    pix_payload: jax.Array,  # [H*W,8] packed (depth, normal, color, nsq)
+    K: jax.Array,
+    pose: jax.Array,
+    img_hw: Tuple[int, int],
+    bit: jax.Array,        # uint32 visibility bit value
+    gate: Optional[jax.Array],
+    *,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+    cos_thresh_sq: float,
+):
+    """The per-voxel fusion update (VolumetricGradSdf.cpp:78-134) on an
+    arbitrary-shaped batch of voxels — shared verbatim by the full-grid
+    kernel (fuse_frame) and the row-culled kernel (fuse_frame_culled), so
+    the two are arithmetically identical by construction.
+
+    Returns (new_dist, new_grad, new_weight, new_color, vis_or [uint32])."""
+    H, W = img_hw
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+
+    p_c = jnp.einsum("ij,...j->...i", R.T, p_w - t)
+    pz = p_c[..., 2]
+    in_front = pz > 0.0
+
+    safe_z = jnp.where(in_front, pz, 1.0)
+    # nearest-pixel projection with +0.5 rounding via int cast
+    # (VolumetricGradSdf.cpp:87-88 static_cast<int> truncates toward zero,
+    # which accepts the [-0.5, 0) sliver as pixel 0 — floor would not)
+    u = (cx + fx * p_c[..., 0] / safe_z + 0.5).astype(jnp.int32)
+    v = (cy + fy * p_c[..., 1] / safe_z + 0.5).astype(jnp.int32)
+    in_img = (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    uc = jnp.clip(u, 0, W - 1)
+    vc = jnp.clip(v, 0, H - 1)
+
+    # TPU gathers cost ~constant per ROW regardless of row width, so all
+    # eight per-pixel quantities ride ONE row-gather of a packed payload
+    # (measured 2.6x over separate per-map gathers).
+    rows = jnp.take(pix_payload, vc * W + uc, axis=0)   # [...,8]
+    z = rows[..., 0]
+    n_img = rows[..., 1:4]
+    col = rows[..., 4:7]
+    nsq = rows[..., 7]
+
+    z_ok = (z > zmin) & (z < zmax)
+
+    sdf = z - pz
+    w = fusion_weight(sdf, truncation)
+
+    n_valid = jnp.sum(n_img * n_img, axis=-1) >= 0.1
+
+    # viewing-angle gate: cos^2(angle between normal and ray) >= cos_thresh_sq
+    # (VolumetricGradSdf.cpp:114-116)
+    xy_hom = p_c / safe_z[..., None]
+    ndot = jnp.sum(n_img * xy_hom, axis=-1)
+    angle_ok = ndot * ndot * nsq >= cos_thresh_sq
+
+    mask = in_front & in_img & z_ok & (w > 0.0) & n_valid & angle_ok
+    if gate is not None:
+        mask = mask & gate
+    wm = jnp.where(mask, w, 0.0)
+
+    new_weight = weight + wm
+    safe_W = jnp.maximum(new_weight, 1e-12)
+    tr_sdf = jnp.clip(sdf, -truncation, truncation)
+    new_dist = dist + (tr_sdf - dist) * wm / safe_W
+    # normals are inward-pointing -> accumulate -w * R * n (cpp:123)
+    n_world = jnp.einsum("ij,...j->...i", R, n_img)
+    new_grad = grad - wm[..., None] * n_world
+    new_color = color_v + (col - color_v) * (wm / safe_W)[..., None]
+    vis_or = jnp.where(mask, bit, jnp.uint32(0))
+    return new_dist, new_grad, new_weight, new_color, vis_or
+
+
+def pack_pixel_payload(color, depth, normals, n_sq_inv):
+    """[H*W,8] packed per-pixel fusion payload (one row-gatherable table)."""
+    H, W = depth.shape
+    return jnp.concatenate(
+        [depth[..., None], normals, color, n_sq_inv[..., None]], axis=-1
+    ).reshape(H * W, 8)
+
+
 @functools.partial(
     jax.jit, static_argnames=("geom", "truncation", "zmin", "zmax", "cos_thresh_sq")
 )
@@ -85,73 +176,250 @@ def fuse_frame(
     conditionals cost a host round trip per execution on remote backends
     and block cross-frame dispatch pipelining)."""
     H, W = depth.shape
+    pix_payload = pack_pixel_payload(color, depth, normals, n_sq_inv)
+    p_w = geom.world_coords()                      # [Z,Y,X,3]
+
+    word = frame_idx // 32
+    bit = (jnp.uint32(1) << jnp.uint32(frame_idx % 32))
+    new_dist, new_grad, new_weight, new_color, vis_or = _fuse_voxel_update(
+        p_w, vol.dist, vol.grad, vol.weight, vol.color, pix_payload, K, pose,
+        (H, W), bit, gate,
+        truncation=truncation, zmin=zmin, zmax=zmax,
+        cos_thresh_sq=cos_thresh_sq,
+    )
+    new_vis = vol.vis.at[word].set(vol.vis[word] | vis_or)
+    return GradSdfVolume(
+        dist=new_dist, grad=new_grad, weight=new_weight, color=new_color, vis=new_vis
+    )
+
+
+def _row_activity(
+    geom: GridGeometry,
+    depth: jax.Array,
+    K: jax.Array,
+    pose: jax.Array,
+    *,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+) -> jax.Array:
+    """Level-1 cull of fuse_frame_culled: conservative per-X-row activity
+    mask [Z,Y] (see fuse_frame_culled's docstring for the three tests and
+    their float-safety margins)."""
+    H, W = depth.shape
+    X, Y, Zd = geom.dims
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
     R = pose[:3, :3]
     t = pose[:3, 3]
+    origin = jnp.array(geom.origin, dtype=jnp.float32)
+    h = geom.voxel_size
+    zi = jnp.arange(Zd, dtype=jnp.float32)[:, None]       # [Z,1]
+    yi = jnp.arange(Y, dtype=jnp.float32)[None, :]        # [1,Y]
 
-    p_w = geom.world_coords()                      # [Z,Y,X,3]
-    p_c = jnp.einsum("ij,zyxj->zyxi", R.T, p_w - t)
-    pz = p_c[..., 2]
-    in_front = pz > 0.0
+    def endpoint_cam(x_idx):
+        px = origin[0] + h * x_idx
+        py = origin[1] + h * yi
+        pz_w = origin[2] + h * zi
+        pw = jnp.stack(
+            [jnp.broadcast_to(px, (Zd, Y)),
+             jnp.broadcast_to(py, (Zd, Y)),
+             jnp.broadcast_to(pz_w, (Zd, Y))], axis=-1)
+        return jnp.einsum("ij,zyj->zyi", R.T, pw - t)
 
-    safe_z = jnp.where(in_front, pz, 1.0)
-    # nearest-pixel projection with +0.5 rounding via int cast
-    # (VolumetricGradSdf.cpp:87-88 static_cast<int> truncates toward zero,
-    # which accepts the [-0.5, 0) sliver as pixel 0 — floor would not)
-    u = (cx + fx * p_c[..., 0] / safe_z + 0.5).astype(jnp.int32)
-    v = (cy + fy * p_c[..., 1] / safe_z + 0.5).astype(jnp.int32)
-    in_img = (u >= 0) & (u < W) & (v >= 0) & (v < H)
-    uc = jnp.clip(u, 0, W - 1)
-    vc = jnp.clip(v, 0, H - 1)
+    p0 = endpoint_cam(jnp.float32(0.0))
+    p1 = endpoint_cam(jnp.float32(X - 1))
+    pz0, pz1 = p0[..., 2], p1[..., 2]
+    eps_z = 1e-5 * (jnp.abs(pz0) + jnp.abs(pz1)) + 1e-6
+    both_behind = (pz0 <= eps_z) & (pz1 <= eps_z)
+    both_front = (pz0 > eps_z) & (pz1 > eps_z)
+    mixed = ~both_behind & ~both_front
 
-    # TPU gathers cost ~constant per ROW regardless of row width, so all
-    # eight per-pixel quantities ride ONE row-gather of a packed payload
-    # (measured 2.6x over separate per-map gathers).
-    pix_payload = jnp.concatenate(
-        [depth[..., None], normals, color, n_sq_inv[..., None]], axis=-1
-    ).reshape(H * W, 8)
-    rows = jnp.take(pix_payload, vc * W + uc, axis=0)   # [Z,Y,X,8]
-    z = rows[..., 0]
-    n_img = rows[..., 1:4]
-    col = rows[..., 4:7]
-    nsq = rows[..., 7]
+    sz0 = jnp.where(pz0 > 0, pz0, 1.0)
+    sz1 = jnp.where(pz1 > 0, pz1, 1.0)
+    u0 = cx + fx * p0[..., 0] / sz0
+    u1 = cx + fx * p1[..., 0] / sz1
+    v0 = cy + fy * p0[..., 1] / sz0
+    v1 = cy + fy * p1[..., 1] / sz1
+    mu = 0.01 + 1e-5 * (jnp.abs(u0) + jnp.abs(u1))
+    mv_ = 0.01 + 1e-5 * (jnp.abs(v0) + jnp.abs(v1))
+    u_min = jnp.minimum(u0, u1) - mu
+    u_max = jnp.maximum(u0, u1) + mu
+    v_min = jnp.minimum(v0, v1) - mv_
+    v_max = jnp.maximum(v0, v1) + mv_
+    # exact in_img (after +0.5 int-cast rounding): -1.5 < u_f < W - 0.5
+    img_possible = (
+        (u_max > -1.5) & (u_min < W - 0.5) & (v_max > -1.5) & (v_min < H - 0.5)
+    )
 
-    z_ok = (z > zmin) & (z < zmax)
+    # per-image-row max VALID depth + RMQ sparse table for range maxima
+    z_valid = jnp.where((depth > zmin) & (depth < zmax), depth, -jnp.inf)
+    row_max = jnp.max(z_valid, axis=1)                    # [H]
+    levels = max(1, (H - 1).bit_length())
+    st = [row_max]
+    for l in range(1, levels):
+        half = 1 << (l - 1)
+        idx = jnp.minimum(jnp.arange(H) + half, H - 1)
+        st.append(jnp.maximum(st[-1], st[-1][idx]))
+    st = jnp.stack(st)                                    # [L,H]
 
-    sdf = z - pz
-    w = fusion_weight(sdf, truncation)
+    v_lo = jnp.clip(jnp.floor(v_min - 1.0), 0, H - 1).astype(jnp.int32)
+    v_hi = jnp.clip(jnp.ceil(v_max + 1.0), 0, H - 1).astype(jnp.int32)
+    span = jnp.maximum(v_hi - v_lo + 1, 1)
+    k = jnp.clip(
+        jnp.floor(jnp.log2(span.astype(jnp.float32)) + 1e-6), 0, levels - 1
+    ).astype(jnp.int32)
+    pow_k = (jnp.int32(1) << k)
+    flat = st.reshape(-1)
+    q1 = jnp.take(flat, k * H + v_lo)
+    q2 = jnp.take(flat, k * H + jnp.maximum(v_hi - pow_k + 1, 0))
+    z_fp_max = jnp.maximum(q1, q2)                        # [Z,Y]
+    z_fp_max = jnp.where(mixed, jnp.max(row_max), z_fp_max)
 
-    n_valid = jnp.sum(n_img * n_img, axis=-1) >= 0.1
+    pz_min = jnp.minimum(pz0, pz1) - eps_z
+    carve_ok = pz_min - truncation <= z_fp_max            # -inf -> cull
 
-    # viewing-angle gate: cos^2(angle between normal and ray) >= cos_thresh_sq
-    # (VolumetricGradSdf.cpp:114-116)
-    xy_hom = p_c / safe_z[..., None]
-    ndot = jnp.sum(n_img * xy_hom, axis=-1)
-    angle_ok = ndot * ndot * nsq >= cos_thresh_sq
+    return ~both_behind & (img_possible | mixed) & carve_ok
 
-    mask = in_front & in_img & z_ok & (w > 0.0) & n_valid & angle_ok
+
+def count_active_rows(
+    geom: GridGeometry,
+    depth: jax.Array,
+    K: jax.Array,
+    pose: jax.Array,
+    *,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+) -> jax.Array:
+    """Number of rows fuse_frame_culled would process for this frame —
+    the capacity-sizing probe for callers choosing row_capacity."""
+    return jnp.sum(_row_activity(
+        geom, depth, K, pose,
+        truncation=truncation, zmin=zmin, zmax=zmax).astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "geom", "truncation", "zmin", "zmax", "cos_thresh_sq", "row_capacity"
+    ),
+)
+def fuse_frame_culled(
+    vol: GradSdfVolume,
+    geom: GridGeometry,
+    color: jax.Array,
+    depth: jax.Array,
+    normals: jax.Array,
+    n_sq_inv: jax.Array,
+    K: jax.Array,
+    pose: jax.Array,
+    frame_idx: jax.Array,
+    gate: Optional[jax.Array] = None,
+    *,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+    cos_thresh_sq: float = 0.25 * 0.25,
+    row_capacity: int,
+) -> Tuple[GradSdfVolume, jax.Array]:
+    """Two-level-culled fusion: exact fuse_frame semantics at a fraction of
+    the gather cost.
+
+    The reference (and fuse_frame) gathers a pixel payload for ALL Z*Y*X
+    voxels every frame (VolumetricGradSdf.cpp:78) even though most fail the
+    frustum/z-range/truncation gates.  TPU row-gather cost is per-INDEX
+    (BASELINE.md: 3.4 ns/idx fast mode, ~78% of the fusion frame), so this
+    kernel cuts the index count by culling at X-row granularity:
+
+      1. For each of the Z*Y grid rows (contiguous [1,1,X] lines, so state
+         moves as whole rows — no transpose), bound the row's camera-space
+         depth pz (linear in x -> endpoint min/max) and its projected
+         pixel-coordinate interval (u, v are Moebius in x with CONSTANT
+         derivative sign where pz > 0 -> endpoint bounds are exact).
+         Cull the row if (a) entirely behind the camera, (b) its projected
+         interval misses the image, or (c) it lies more than the truncation
+         T behind every observable depth in its v-footprint — the depth
+         bound comes from a per-image-row max table with an RMQ sparse
+         table for O(1) range queries.  All tests carry float-safety
+         margins, so culling is a strict SUPERSET of the active set and
+         the per-voxel result is bit-identical (shared _fuse_voxel_update).
+      2. Compact the surviving rows to a STATIC row_capacity (the gather
+         index count becomes row_capacity * X), gather their volume-state
+         rows, run the exact per-voxel update, scatter the rows back.
+
+    Returns (new_volume, overflowed): when more rows survive culling than
+    row_capacity the update is INCOMPLETE — the caller must retry with a
+    larger capacity or the exact kernel (the stream executor surfaces the
+    flag per frame; the pipeline re-runs the chunk from its kept pre-chunk
+    volume).
+    """
+    H, W = depth.shape
+    X, Y, Zd = geom.dims
+    ZY = Zd * Y
+    origin = jnp.array(geom.origin, dtype=jnp.float32)
+    h = geom.voxel_size
+
+    active = _row_activity(
+        geom, depth, K, pose, truncation=truncation, zmin=zmin, zmax=zmax)
     if gate is not None:
-        mask = mask & gate
-    wm = jnp.where(mask, w, 0.0)
+        active = active & gate
+    # ---------------- level 2: compact + gather + update + scatter --------
+    active_flat = active.reshape(-1)
+    n_active = jnp.sum(active_flat.astype(jnp.int32))
+    overflow = n_active > row_capacity
+    (rows_idx,) = jnp.nonzero(active_flat, size=row_capacity, fill_value=ZY)
+    slot_ok = rows_idx < ZY
+    safe_rows = jnp.minimum(rows_idx, ZY - 1)
 
-    new_weight = vol.weight + wm
-    safe_W = jnp.maximum(new_weight, 1e-12)
-    tr_sdf = jnp.clip(sdf, -truncation, truncation)
-    new_dist = vol.dist + (tr_sdf - vol.dist) * wm / safe_W
-    # normals are inward-pointing -> accumulate -w * R * n (cpp:123)
-    n_world = jnp.einsum("ij,zyxj->zyxi", R, n_img)
-    new_grad = vol.grad - wm[..., None] * n_world
-    new_color = vol.color + (col - vol.color) * (wm / safe_W)[..., None]
-
-    # visibility bit for this frame
+    d_r = jnp.take(vol.dist.reshape(ZY, X), safe_rows, axis=0)
+    g_r = jnp.take(vol.grad.reshape(ZY, X, 3), safe_rows, axis=0)
+    w_r = jnp.take(vol.weight.reshape(ZY, X), safe_rows, axis=0)
+    c_r = jnp.take(vol.color.reshape(ZY, X, 3), safe_rows, axis=0)
     word = frame_idx // 32
     bit = (jnp.uint32(1) << jnp.uint32(frame_idx % 32))
-    vis_update = jnp.where(mask, bit, jnp.uint32(0))
-    new_vis = vol.vis.at[word].set(vol.vis[word] | vis_update)
+    vis_word = jax.lax.dynamic_index_in_dim(
+        vol.vis.reshape(-1, ZY, X), word, axis=0, keepdims=False)
+    vw_r = jnp.take(vis_word, safe_rows, axis=0)
 
-    return GradSdfVolume(
-        dist=new_dist, grad=new_grad, weight=new_weight, color=new_color, vis=new_vis
+    rz = (safe_rows // Y).astype(jnp.float32)             # [A]
+    ry = (safe_rows % Y).astype(jnp.float32)
+    rx = jnp.arange(X, dtype=jnp.float32)[None, :]
+    p_w = jnp.stack(
+        [origin[0] + h * jnp.broadcast_to(rx, (row_capacity, X)),
+         origin[1] + h * jnp.broadcast_to(ry[:, None], (row_capacity, X)),
+         origin[2] + h * jnp.broadcast_to(rz[:, None], (row_capacity, X))],
+        axis=-1)
+
+    pix_payload = pack_pixel_payload(color, depth, normals, n_sq_inv)
+    row_gate = slot_ok[:, None]
+    if gate is not None:
+        row_gate = row_gate & gate
+    nd, ng, nw, nc, vis_or = _fuse_voxel_update(
+        p_w, d_r, g_r, w_r, c_r, pix_payload, K, pose, (H, W), bit, row_gate,
+        truncation=truncation, zmin=zmin, zmax=zmax,
+        cos_thresh_sq=cos_thresh_sq,
+    )
+    nvw = vw_r | vis_or
+
+    # scatter rows back (fill index ZY is out of range -> mode='drop')
+    new_dist = vol.dist.reshape(ZY, X).at[rows_idx].set(
+        nd, mode="drop").reshape(vol.dist.shape)
+    new_grad = vol.grad.reshape(ZY, X, 3).at[rows_idx].set(
+        ng, mode="drop").reshape(vol.grad.shape)
+    new_weight = vol.weight.reshape(ZY, X).at[rows_idx].set(
+        nw, mode="drop").reshape(vol.weight.shape)
+    new_color = vol.color.reshape(ZY, X, 3).at[rows_idx].set(
+        nc, mode="drop").reshape(vol.color.shape)
+    new_vis_word = vis_word.at[rows_idx].set(nvw, mode="drop")
+    new_vis = jax.lax.dynamic_update_index_in_dim(
+        vol.vis.reshape(-1, ZY, X), new_vis_word, word, axis=0
+    ).reshape(vol.vis.shape)
+
+    return (
+        GradSdfVolume(dist=new_dist, grad=new_grad, weight=new_weight,
+                      color=new_color, vis=new_vis),
+        overflow,
     )
 
 

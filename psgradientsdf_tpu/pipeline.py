@@ -232,6 +232,17 @@ class ReconstructionPipeline:
         Kj = jnp.asarray(self.K)
         buf: List[Tuple] = []   # (frame_idx, color, depth, rgb_ts, depth_ts, gt_pose)
 
+        # row-culled fusion capacity (core/volume.fuse_frame_culled): start
+        # at the configured fraction of the Z*Y row count; overflow redoes
+        # the chunk (functional volume — the pre-chunk state is still held)
+        # at a grown capacity.  Disabled under a mesh (the sharded fusion
+        # path is exact full-grid for now) and when fuse_rows == 0.
+        ZY = self.geom.dims[2] * self.geom.dims[1] if self.geom else 0
+        if cfg.tpu.fuse_rows > 0 and self.mesh is None and ZY:
+            self._fuse_cap = min(ZY, max(256, -(-int(ZY * cfg.tpu.fuse_rows) // 256) * 256))
+        else:
+            self._fuse_cap = 0
+
         def flush() -> None:
             nonlocal cur_pose, frames_done
             if not buf:
@@ -251,19 +262,30 @@ class ReconstructionPipeline:
                      for b in buf] + [np.eye(4, dtype=np.float32)] * pad)
             else:
                 gtp = np.broadcast_to(np.eye(4, dtype=np.float32), (C, 4, 4))
-            self.vol, res = process_chunk(
-                self.vol, self.geom, jnp.asarray(colors), jnp.asarray(depths),
-                Kj, jnp.asarray(cur_pose), jnp.asarray(fids), jnp.asarray(valid),
-                jnp.asarray(gtp), self.fals,
-                truncation=truncation, zmin=tr.zmin, zmax=tr.zmax,
-                num_iterations=tr.num_iterations,
-                conv_threshold_sq=tr.conv_threshold ** 2,
-                damping=tr.damping, stride=cfg.tpu.track_stride,
-                use_gt=gt, depth_unit=self._depth_unit,
-                regather_every=cfg.tpu.track_regather,
-                early_exit=not cfg.tpu.track_static,
-                mesh=self.mesh,
-            )
+            while True:
+                new_vol, res = process_chunk(
+                    self.vol, self.geom, jnp.asarray(colors), jnp.asarray(depths),
+                    Kj, jnp.asarray(cur_pose), jnp.asarray(fids), jnp.asarray(valid),
+                    jnp.asarray(gtp), self.fals,
+                    truncation=truncation, zmin=tr.zmin, zmax=tr.zmax,
+                    num_iterations=tr.num_iterations,
+                    conv_threshold_sq=tr.conv_threshold ** 2,
+                    damping=tr.damping, stride=cfg.tpu.track_stride,
+                    use_gt=gt, depth_unit=self._depth_unit,
+                    regather_every=cfg.tpu.track_regather,
+                    early_exit=not cfg.tpu.track_static,
+                    mesh=self.mesh,
+                    fuse_row_capacity=self._fuse_cap,
+                )
+                if self._fuse_cap and bool(np.asarray(res.fuse_overflow).any()):
+                    ZY_ = self.geom.dims[2] * self.geom.dims[1]
+                    grown = min(ZY_, max(self._fuse_cap * 3 // 2, 256))
+                    self.metrics.log("fuse_cull_overflow",
+                                     capacity=self._fuse_cap, grown=grown)
+                    self._fuse_cap = grown if grown < ZY_ else 0
+                    continue       # redo from the (unchanged) pre-chunk volume
+                self.vol = new_vol
+                break
             poses = np.asarray(res.poses)
             conv = np.asarray(res.converged)
             fused = np.asarray(res.fused)

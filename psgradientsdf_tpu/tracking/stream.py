@@ -36,7 +36,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from psgradientsdf_tpu.core.grid import GridGeometry
-from psgradientsdf_tpu.core.volume import GradSdfVolume, fuse_frame
+from psgradientsdf_tpu.core.volume import (
+    GradSdfVolume,
+    fuse_frame,
+    fuse_frame_culled,
+)
 from psgradientsdf_tpu.ops.normals import FalsCache, compute_normals
 from psgradientsdf_tpu.ops.sharpness import modified_laplacian
 from psgradientsdf_tpu.tracking.tracker import track_frame
@@ -50,6 +54,10 @@ class ChunkResult(NamedTuple):
     energy: jax.Array      # [C] mean psi^2 at the last tracked iterate
     num_valid: jax.Array   # [C] int32 pixels in the last GN solve
     sharpness: jax.Array   # [C] LAPM focus measure of the color image
+    fuse_overflow: jax.Array  # [C] bool — row-culled fusion hit capacity;
+                              # the frame's update is incomplete and the
+                              # caller must redo the chunk (pipeline keeps
+                              # the pre-chunk volume)
 
 
 def _to_metric(depths: jax.Array, colors: jax.Array, depth_unit: float):
@@ -77,6 +85,7 @@ def _preprocess(depths: jax.Array, colors: jax.Array, fals: FalsCache,
     static_argnames=(
         "geom", "truncation", "zmin", "zmax", "num_iterations", "stride",
         "use_gt", "depth_unit", "regather_every", "early_exit", "mesh",
+        "fuse_row_capacity",
     ),
 )
 def _chunk_step(
@@ -104,6 +113,7 @@ def _chunk_step(
     regather_every: int = 1,
     early_exit: bool = True,
     mesh=None,
+    fuse_row_capacity: int = 0,
 ):
     """One frame: masked GN track + gated fuse, all static control flow.
 
@@ -149,10 +159,20 @@ def _chunk_step(
         iters, energy, nvalid = res.iterations, res.energy, res.num_valid
 
     do_fuse = conv if not use_gt else ok
-    vol = fuse_frame(
-        vol, geom, color, depth, n_img, n_sq_inv, K, new_pose, fid, do_fuse,
-        truncation=truncation, zmin=zmin, zmax=zmax,
-    )
+    if fuse_row_capacity > 0 and mesh is None:
+        # row-culled fusion (exact-superset cull, core/volume.py) — the
+        # gather index count drops from Z*Y*X to row_capacity*X
+        vol, overflow = fuse_frame_culled(
+            vol, geom, color, depth, n_img, n_sq_inv, K, new_pose, fid,
+            do_fuse, truncation=truncation, zmin=zmin, zmax=zmax,
+            row_capacity=fuse_row_capacity,
+        )
+    else:
+        vol = fuse_frame(
+            vol, geom, color, depth, n_img, n_sq_inv, K, new_pose, fid, do_fuse,
+            truncation=truncation, zmin=zmin, zmax=zmax,
+        )
+        overflow = jnp.bool_(False)
     if mesh is not None:
         from jax.sharding import NamedSharding
         from psgradientsdf_tpu.parallel.mesh import volume_specs
@@ -163,7 +183,7 @@ def _chunk_step(
     # non-converged tracking still advances the pose estimate
     # (the reference's pose_ member retains the last GN iterate)
     pose_out = jnp.where(ok, new_pose, pose)
-    return vol, pose_out, conv, do_fuse, iters, energy, nvalid
+    return vol, pose_out, conv, do_fuse, iters, energy, nvalid, overflow
 
 
 def process_chunk(
@@ -191,6 +211,7 @@ def process_chunk(
     regather_every: int = 1,
     early_exit: bool = True,
     mesh=None,
+    fuse_row_capacity: int = 0,
 ) -> Tuple[GradSdfVolume, ChunkResult]:
     """Track + fuse a chunk of frames with pipelined dispatch.
 
@@ -210,20 +231,22 @@ def process_chunk(
         num_iterations=num_iterations, conv_threshold_sq=conv_threshold_sq,
         damping=damping, stride=stride, use_gt=use_gt, depth_unit=depth_unit,
         regather_every=regather_every, early_exit=early_exit, mesh=mesh,
+        fuse_row_capacity=fuse_row_capacity,
     )
     pose = init_pose
     outs = []
     for j in range(C):
-        vol, pose, conv, fused, iters, energy, nvalid = step(
+        vol, pose, conv, fused, iters, energy, nvalid, overflow = step(
             vol, pose, colors[j], depths[j], normals[j], fals.n_sq_inv, K,
             frame_ids[j], valid[j], gt_poses[j],
         )
-        outs.append((pose, conv, fused, iters, energy, nvalid))
+        outs.append((pose, conv, fused, iters, energy, nvalid, overflow))
 
-    poses, conv, fused, iters, energy, nvalid = (
-        jnp.stack([o[k] for o in outs]) for k in range(6)
+    poses, conv, fused, iters, energy, nvalid, overflow = (
+        jnp.stack([o[k] for o in outs]) for k in range(7)
     )
     return vol, ChunkResult(
         poses=poses, converged=conv, fused=fused, iterations=iters,
         energy=energy, num_valid=nvalid, sharpness=sharp,
+        fuse_overflow=overflow,
     )
