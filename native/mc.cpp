@@ -70,6 +70,12 @@ int mc_extract(
     const float* phi,      // [Z*Y*X]
     const float* weight,   // [Z*Y*X] or nullptr (no gate)
     const float* color,    // [Z*Y*X*3] or nullptr
+    const float* grad,     // [Z*Y*X*3] or nullptr: Gradient-MC placement
+                           // (GradMarchingCubes.cpp:708-715, minus its
+                           // color-channel index bug): vertex at the edge's
+                           // low corner displaced by phi_lo/voxel along the
+                           // corner's normalized gradient; colors from the
+                           // low corner
     int64_t Z, int64_t Y, int64_t X,
     float level,
     const int8_t* tri_table,  // [256*16], -1 terminated triples
@@ -136,16 +142,36 @@ int mc_extract(
               float tt = (level - va) / denom;
               if (tt < 0.0f) tt = 0.0f;
               if (tt > 1.0f) tt = 1.0f;
-              const float fx = pax + tt * (pbx - pax);
-              const float fy = pay + tt * (pby - pay);
-              const float fz = paz + tt * (pbz - paz);
+              float fx, fy, fz;
+              if (grad) {
+                // Gradient-MC: low corner + (phi_lo/voxel) * ghat_lo
+                // (double math matching the numpy path)
+                const int64_t il = (int64_t)lz * sz + (int64_t)ly * sy + lx;
+                double gx = grad[il * 3], gy = grad[il * 3 + 1],
+                       gz = grad[il * 3 + 2];
+                double gn = std::sqrt(gx * gx + gy * gy + gz * gz);
+                if (gn < 1e-12) gn = 1e-12;
+                const double step = (double)phi[il] / voxel;
+                fx = (float)(lx + step * gx / gn);
+                fy = (float)(ly + step * gy / gn);
+                fz = (float)(lz + step * gz / gn);
+                tt = 0.0f;      // colors from the low corner
+              } else {
+                fx = pax + tt * (pbx - pax);
+                fy = pay + tt * (pby - pay);
+                fz = paz + tt * (pbz - paz);
+              }
               vid[k] = (int32_t)(verts.size() / 3);
               verts.push_back(ox + voxel * fx);
               verts.push_back(oy + voxel * fy);
               verts.push_back(oz + voxel * fz);
               if (color) {
-                const int64_t ia = (int64_t)paz * sz + (int64_t)pay * sy + pax;
-                const int64_t ib = (int64_t)pbz * sz + (int64_t)pby * sy + pbx;
+                const int64_t ia = grad
+                    ? (int64_t)lz * sz + (int64_t)ly * sy + lx
+                    : (int64_t)paz * sz + (int64_t)pay * sy + pax;
+                const int64_t ib = grad
+                    ? ia
+                    : (int64_t)pbz * sz + (int64_t)pby * sy + pbx;
                 for (int ch = 0; ch < 3; ++ch) {
                   const float ca = color[ia * 3 + ch];
                   const float cb = color[ib * 3 + ch];

@@ -65,6 +65,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),   # phi
         ctypes.POINTER(ctypes.c_float),   # weight (nullable)
         ctypes.POINTER(ctypes.c_float),   # color (nullable)
+        ctypes.POINTER(ctypes.c_float),   # grad (nullable; Gradient-MC)
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_float,
         ctypes.POINTER(ctypes.c_int8),    # tri_table
@@ -212,6 +213,7 @@ def marching_cubes_native(
     tri_table: np.ndarray,                 # [256,16] int8/int32
     weight: Optional[np.ndarray] = None,
     color: Optional[np.ndarray] = None,
+    grad: Optional[np.ndarray] = None,     # [Z,Y,X,3] Gradient-MC placement
 ):
     """Run the native MC core. Returns (verts, faces, colors|None) or None
     if the native library is unavailable."""
@@ -229,6 +231,8 @@ def marching_cubes_native(
              if weight is not None else None)
     c_arr = (np.ascontiguousarray(color, dtype=np.float32)
              if color is not None else None)
+    g_arr = (np.ascontiguousarray(grad, dtype=np.float32)
+             if grad is not None else None)
 
     out_v = ctypes.POINTER(ctypes.c_float)()
     out_f = ctypes.POINTER(ctypes.c_int32)()
@@ -239,6 +243,7 @@ def marching_cubes_native(
         fptr(phi),
         fptr(w_arr) if w_arr is not None else None,
         fptr(c_arr) if c_arr is not None else None,
+        fptr(g_arr) if g_arr is not None else None,
         Z, Y, X, ctypes.c_float(level),
         table.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         ctypes.c_float(voxel_size),

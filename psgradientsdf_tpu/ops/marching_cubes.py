@@ -49,12 +49,12 @@ def marching_cubes(
     corner.  (The reference ships this variant but its call-site is
     commented out, OptimizerAux.cpp:346-347; we expose it as an option.)"""
     # native C++ core (native/mc.cpp — the mc_lib equivalent) when available
-    if use_native and grad is None:
+    if use_native:
         from psgradientsdf_tpu.native import marching_cubes_native
 
         out = marching_cubes_native(
             np.asarray(phi), voxel_size, origin, level, TRI_TABLE,
-            weight=weight, color=color,
+            weight=weight, color=color, grad=grad,
         )
         if out is not None:
             return Mesh(vertices=out[0], faces=out[1], colors=out[2])

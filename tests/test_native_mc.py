@@ -116,3 +116,47 @@ def test_native_ply_writers_match_python(tmp_path):
     finally:
         del os.environ["PSGSDF_NO_NATIVE"]
     assert qn.read_bytes() == qp.read_bytes()
+
+
+def test_native_grad_mc_matches_numpy():
+    """Gradient-MC vertex placement (GradMarchingCubes.cpp:708-715 minus its
+    color-index bug): native core == numpy path on a sphere whose gradients
+    are the analytic outward normals."""
+    n = 24
+    phi = sphere_field(n).astype(np.float32)
+    ax = (np.arange(n) + 0.5) / n - 0.5
+    z, y, x = np.meshgrid(ax, ax, ax, indexing="ij")
+    # grad convention: the stored Gradient-SDF gradient is grad(dist)
+    # (outward, increasing distance); vertex = lo + phi_lo*ghat = lo -
+    # dist*ghat = the surface point (phi = -dist is positive inside)
+    g = np.stack([x, y, z], axis=-1)
+    g = (g / np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+         ).astype(np.float32)
+    w = np.ones_like(phi)
+    rng = np.random.default_rng(3)
+    col = rng.uniform(0, 1, phi.shape + (3,)).astype(np.float32)
+    h = 1.0 / n
+
+    m_np = marching_cubes(phi, h, (0.0, 0.0, 0.0), weight=w, color=col,
+                          grad=g, use_native=False)
+    out = marching_cubes_native(phi, h, (0.0, 0.0, 0.0), 0.0, TRI_TABLE,
+                                weight=w, color=col, grad=g)
+    assert out is not None
+    v, f, c = out
+    assert len(f) == len(m_np.faces)
+    assert len(v) == len(m_np.vertices)
+    # grad placement collapses all edges of a corner onto one point, so
+    # the soup is full of coordinate ties — round before canonical sorting
+    # (float64-vs-float32 rounding between the two paths would otherwise
+    # reorder tied rows)
+    a = canonical_tris(np.round(m_np.vertices, 5), m_np.faces)
+    b = canonical_tris(np.round(v, 5), f)
+    np.testing.assert_array_equal(a, b)
+    # vertices lie near the analytic sphere (the Gradient-MC promise);
+    # sphere center in world coords = index (n-1)/2 at voxel h
+    center = (n - 1) / 2 * h
+    r = np.linalg.norm(v - center, axis=-1)
+    assert np.abs(r - 0.35).max() < 0.6 * h
+    np.testing.assert_allclose(sorted(np.round(c.reshape(-1), 4)),
+                               sorted(np.round(m_np.colors.reshape(-1), 4)),
+                               atol=1e-4)

