@@ -96,6 +96,35 @@ def test_pipeline_mesh_matches_single_device(tmp_path):
         assert os.path.exists(os.path.join(o, "tracking_poses.txt"))
 
 
+def test_pipeline_cull_overflow_redo(tmp_path):
+    """Deliberately undersized fusion-cull capacity: the overflow must be
+    detected at collect time, the chunk (and any chunk already staged on
+    its incomplete volume — the double-buffered pipeline) redone from the
+    recorded pre-state, and the final volume equal to the uncully run."""
+    data = str(tmp_path / "data") + "/"
+    make_led_dataset(data)
+
+    vols = {}
+    logs = {}
+    for tag, frac in (("exact", 0.0), ("tight", 0.01)):
+        out = str(tmp_path / f"out_{tag}") + "/"
+        raw = _base_cfg(data, out)
+        raw["grid dim"] = 64
+        raw["fuse rows"] = frac
+        raw["chunk size"] = 2        # several chunks in flight
+        cfg = parse_config(raw)
+        pipe = ReconstructionPipeline(cfg, prefetch=False)
+        pipe.run(refine=False)
+        vols[tag] = (np.asarray(pipe.vol.dist), np.asarray(pipe.vol.weight))
+        logs[tag] = open(out + "metrics.jsonl").read()
+
+    assert "fuse_cull_overflow" in logs["tight"], (
+        "capacity 1% of rows did not overflow — test scene too small to "
+        "exercise the redo path")
+    np.testing.assert_array_equal(vols["tight"][0], vols["exact"][0])
+    np.testing.assert_array_equal(vols["tight"][1], vols["exact"][1])
+
+
 def test_pipeline_mesh_upsample(tmp_path):
     """The shape-changing upsample-at-iter-5 path under the mesh (VERDICT
     round-1 gap #3/#9): 16^3 -> 32^3 through the refiner's alternating loop
