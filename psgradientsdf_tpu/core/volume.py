@@ -202,19 +202,26 @@ def _row_activity(
     truncation: float,
     zmin: float,
     zmax: float,
+    z0: Optional[jax.Array] = None,   # slab z-offset (sharded slabs)
+    z_rows: Optional[int] = None,     # slab z extent (default: whole grid)
 ) -> jax.Array:
     """Level-1 cull of fuse_frame_culled: conservative per-X-row activity
-    mask [Z,Y] (see fuse_frame_culled's docstring for the three tests and
-    their float-safety margins)."""
+    mask [z_rows,Y] (see fuse_frame_culled's docstring for the three tests
+    and their float-safety margins).  With (z0, z_rows) the mask covers a
+    Z-slab of the grid — the per-shard form used under shard_map."""
     H, W = depth.shape
     X, Y, Zd = geom.dims
+    if z_rows is None:
+        z_rows = Zd
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
     R = pose[:3, :3]
     t = pose[:3, 3]
     origin = jnp.array(geom.origin, dtype=jnp.float32)
     h = geom.voxel_size
-    zi = jnp.arange(Zd, dtype=jnp.float32)[:, None]       # [Z,1]
+    zi = jnp.arange(z_rows, dtype=jnp.float32)[:, None]   # [Zl,1]
+    if z0 is not None:
+        zi = zi + z0.astype(jnp.float32)
     yi = jnp.arange(Y, dtype=jnp.float32)[None, :]        # [1,Y]
 
     def endpoint_cam(x_idx):
@@ -222,9 +229,9 @@ def _row_activity(
         py = origin[1] + h * yi
         pz_w = origin[2] + h * zi
         pw = jnp.stack(
-            [jnp.broadcast_to(px, (Zd, Y)),
-             jnp.broadcast_to(py, (Zd, Y)),
-             jnp.broadcast_to(pz_w, (Zd, Y))], axis=-1)
+            [jnp.broadcast_to(px, (z_rows, Y)),
+             jnp.broadcast_to(py, (z_rows, Y)),
+             jnp.broadcast_to(pz_w, (z_rows, Y))], axis=-1)
         return jnp.einsum("ij,zyj->zyi", R.T, pw - t)
 
     p0 = endpoint_cam(jnp.float32(0.0))
@@ -354,17 +361,48 @@ def fuse_frame_culled(
     flag per frame; the pipeline re-runs the chunk from its kept pre-chunk
     volume).
     """
-    H, W = depth.shape
-    X, Y, Zd = geom.dims
-    ZY = Zd * Y
-    origin = jnp.array(geom.origin, dtype=jnp.float32)
-    h = geom.voxel_size
-
     active = _row_activity(
         geom, depth, K, pose, truncation=truncation, zmin=zmin, zmax=zmax)
     if gate is not None:
         active = active & gate
-    # ---------------- level 2: compact + gather + update + scatter --------
+    pix_payload = pack_pixel_payload(color, depth, normals, n_sq_inv)
+    return _fuse_culled_slab(
+        vol, geom, None, geom.dims[2], active, pix_payload, K, pose,
+        depth.shape, frame_idx, gate,
+        truncation=truncation, zmin=zmin, zmax=zmax,
+        cos_thresh_sq=cos_thresh_sq, row_capacity=row_capacity,
+    )
+
+
+def _fuse_culled_slab(
+    vol: GradSdfVolume,       # slab-shaped fields [Zl,Y,X] (Zl = z_rows)
+    geom: GridGeometry,
+    z0,                       # slab z-offset (None -> 0; traced scalar ok)
+    z_rows: int,
+    active: jax.Array,        # [Zl,Y] level-1 activity (gate already folded)
+    pix_payload: jax.Array,
+    K: jax.Array,
+    pose: jax.Array,
+    img_hw,
+    frame_idx: jax.Array,
+    gate,
+    *,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+    cos_thresh_sq: float,
+    row_capacity: int,
+) -> Tuple[GradSdfVolume, jax.Array]:
+    """Level 2 of the row-culled fusion on a Z-slab: compact active rows
+    to the static capacity, gather their state rows, run the exact
+    per-voxel update, scatter back.  Shared by the single-device kernel
+    (z0=None, z_rows=Z) and the shard_map per-slab body."""
+    H, W = img_hw
+    X, Y = geom.dims[0], geom.dims[1]
+    ZY = z_rows * Y
+    origin = jnp.array(geom.origin, dtype=jnp.float32)
+    h = geom.voxel_size
+
     active_flat = active.reshape(-1)
     n_active = jnp.sum(active_flat.astype(jnp.int32))
     overflow = n_active > row_capacity
@@ -382,7 +420,9 @@ def fuse_frame_culled(
         vol.vis.reshape(-1, ZY, X), word, axis=0, keepdims=False)
     vw_r = jnp.take(vis_word, safe_rows, axis=0)
 
-    rz = (safe_rows // Y).astype(jnp.float32)             # [A]
+    rz = (safe_rows // Y).astype(jnp.float32)             # [A] slab-local z
+    if z0 is not None:
+        rz = rz + z0.astype(jnp.float32)
     ry = (safe_rows % Y).astype(jnp.float32)
     rx = jnp.arange(X, dtype=jnp.float32)[None, :]
     p_w = jnp.stack(
@@ -391,7 +431,6 @@ def fuse_frame_culled(
          origin[2] + h * jnp.broadcast_to(rz[:, None], (row_capacity, X))],
         axis=-1)
 
-    pix_payload = pack_pixel_payload(color, depth, normals, n_sq_inv)
     row_gate = slot_ok[:, None]
     if gate is not None:
         row_gate = row_gate & gate

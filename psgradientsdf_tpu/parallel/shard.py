@@ -56,6 +56,67 @@ def sharded_fuse_frame(mesh: Mesh, geom: GridGeometry, **static_kwargs):
     return step
 
 
+def sharded_fuse_frame_culled_fn(
+    mesh: Mesh,
+    geom: GridGeometry,
+    *,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+    cos_thresh_sq: float = 0.25 * 0.25,
+    row_capacity: int,
+):
+    """Per-slab row-culled fusion under shard_map (traceable; compose inside
+    jitted programs).  Each Z-slab runs the level-1 cull on its own rows
+    (core/volume._row_activity with the slab offset) and the shared level-2
+    compact/gather/update/scatter — all slab-local, zero communication
+    except ONE psum of the overflow flag.  `row_capacity` is PER SHARD.
+
+    Returns fn(vol, color, depth, normals, n_sq_inv, K, pose, frame_idx,
+    gate=None) -> (vol, overflowed)."""
+    from psgradientsdf_tpu.core.volume import (
+        _fuse_culled_slab, _row_activity, pack_pixel_payload,
+    )
+
+    Zg = geom.shape_zyx[0]
+    n_z = mesh.shape[Z_AXIS]
+    assert Zg % n_z == 0, f"grid Z={Zg} not divisible by mesh z={n_z}"
+    Zl = Zg // n_z
+    v_specs = volume_specs()
+    in_specs = (v_specs, P(), P(), P(), P(), P(), P(), P(), P())
+    out_specs = (v_specs, P())
+
+    def body(vol_slab, color, depth, normals, n_sq_inv, K, pose, frame_idx,
+             gate):
+        z0 = jax.lax.axis_index(Z_AXIS) * Zl
+        active = _row_activity(
+            geom, depth, K, pose, truncation=truncation, zmin=zmin,
+            zmax=zmax, z0=z0, z_rows=Zl)
+        gate_s = gate[0]
+        active = active & gate_s
+        pix_payload = pack_pixel_payload(color, depth, normals, n_sq_inv)
+        new_slab, overflow = _fuse_culled_slab(
+            vol_slab, geom, z0, Zl, active, pix_payload, K, pose,
+            depth.shape, frame_idx, gate_s,
+            truncation=truncation, zmin=zmin, zmax=zmax,
+            cos_thresh_sq=cos_thresh_sq, row_capacity=row_capacity,
+        )
+        ov = jax.lax.psum(overflow.astype(jnp.int32), Z_AXIS) > 0
+        return new_slab, ov
+
+    mapped = shard_map(body, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs)
+
+    def fuse(vol, color, depth, normals, n_sq_inv, K, pose, frame_idx,
+             gate=None):
+        if gate is None:
+            gate = jnp.bool_(True)
+        return mapped(vol, color, depth, normals, n_sq_inv, K, pose,
+                      frame_idx, gate[None])
+
+    return fuse
+
+
 # ---------------------------------------------------------- tracking (psum)
 
 def sharded_tracker_fn(

@@ -235,10 +235,10 @@ class ReconstructionPipeline:
         # row-culled fusion capacity (core/volume.fuse_frame_culled): start
         # at the configured fraction of the Z*Y row count; overflow redoes
         # the chunk (functional volume — the pre-chunk state is still held)
-        # at a grown capacity.  Disabled under a mesh (the sharded fusion
-        # path is exact full-grid for now) and when fuse_rows == 0.
+        # at a grown capacity.  Under a mesh the capacity splits across the
+        # Z shards (per-slab cull, parallel/shard.py).
         ZY = self.geom.dims[2] * self.geom.dims[1] if self.geom else 0
-        if cfg.tpu.fuse_rows > 0 and self.mesh is None and ZY:
+        if cfg.tpu.fuse_rows > 0 and ZY:
             self._fuse_cap = min(ZY, max(256, -(-int(ZY * cfg.tpu.fuse_rows) // 256) * 256))
         else:
             self._fuse_cap = 0

@@ -167,6 +167,21 @@ def _chunk_step(
             do_fuse, truncation=truncation, zmin=zmin, zmax=zmax,
             row_capacity=fuse_row_capacity,
         )
+    elif fuse_row_capacity > 0:
+        # mesh mode: per-slab cull under shard_map (capacity split across
+        # the Z shards; parallel/shard.py)
+        from psgradientsdf_tpu.parallel.mesh import Z_AXIS
+        from psgradientsdf_tpu.parallel.shard import (
+            sharded_fuse_frame_culled_fn,
+        )
+
+        cap_shard = -(-fuse_row_capacity // mesh.shape[Z_AXIS])
+        fuse_sh = sharded_fuse_frame_culled_fn(
+            mesh, geom, truncation=truncation, zmin=zmin, zmax=zmax,
+            row_capacity=cap_shard,
+        )
+        vol, overflow = fuse_sh(
+            vol, color, depth, n_img, n_sq_inv, K, new_pose, fid, do_fuse)
     else:
         vol = fuse_frame(
             vol, geom, color, depth, n_img, n_sq_inv, K, new_pose, fid, do_fuse,

@@ -109,6 +109,49 @@ def test_culled_empty_depth_and_gate():
     _assert_equal_vol(got, vol0)
 
 
+def test_sharded_culled_matches_single_device():
+    """Per-slab cull under shard_map (parallel/shard.py) == single-device
+    fuse_frame, bit for bit, across generic poses; slab-level overflow
+    surfaces through the psum'd flag."""
+    from psgradientsdf_tpu.parallel import mesh as mesh_mod, shard
+
+    sc = wavy_scene(dim=32, h=0.04, H=48, W=64, f=50.0)
+    geom, T = sc["geom"], sc["truncation"]
+    fr = sc["frames"][0]
+    mesh = mesh_mod.make_mesh(n_z=4, n_frames=2)
+    Zl_rows = (geom.dims[2] // 4) * geom.dims[1]
+    kw = dict(truncation=T, zmin=0.1, zmax=5.0)
+
+    import jax
+    fuse_sh = jax.jit(shard.sharded_fuse_frame_culled_fn(
+        mesh, geom, **kw, row_capacity=Zl_rows))
+
+    vol_e = make_volume(geom, T, frame_cap=64)
+    vol_c = mesh_mod.shard_volume(vol_e, mesh)
+    for fi, pose in enumerate(_poses()):
+        pj = jnp.asarray(pose)
+        vol_e = fuse_frame(
+            vol_e, geom, fr["color"], fr["depth"], fr["normals"],
+            fr["n_sq_inv"], sc["K"], pj, jnp.int32(fi), **kw)
+        vol_c, ov = fuse_sh(
+            vol_c, fr["color"], fr["depth"], fr["normals"], fr["n_sq_inv"],
+            sc["K"], pj, jnp.int32(fi))
+        assert not bool(ov)
+        _assert_equal_vol(vol_c, vol_e)
+    # output stays Z-slab sharded
+    assert "z" in str(vol_c.dist.sharding.spec)
+
+    # per-slab overflow: a capacity below one slab's active rows trips the
+    # psum'd flag
+    fuse_tiny = jax.jit(shard.sharded_fuse_frame_culled_fn(
+        mesh, geom, **kw, row_capacity=8))
+    _, ov = fuse_tiny(
+        mesh_mod.shard_volume(make_volume(geom, T, frame_cap=64), mesh),
+        fr["color"], fr["depth"], fr["normals"], fr["n_sq_inv"],
+        sc["K"], jnp.eye(4, dtype=jnp.float32), jnp.int32(0))
+    assert bool(ov)
+
+
 def test_culled_cull_ratio_is_real():
     """On the bench-like scene the cull must actually remove rows (this is
     the performance contract — fail loudly if a regression makes the cull
