@@ -87,7 +87,22 @@ def pose_jacobian_led(
     light: jax.Array,         # [3]
 ) -> jax.Array:
     """LED pose Jacobian with the near-field extra terms
-    (LedOptimizerJa.cpp:63-78)."""
+    (LedOptimizerJa.cpp:63-78), in the corrected form (documented
+    deviation — see module docstring):
+
+    The irradiance m = -n^T R p / |p|^3 depends on the pose only through
+    the world ray x - t = R p_cam (|p_cam| = |x - t|), so
+      * translation: d(rendered)/dxi_t = rho l (-n/L^3 + 3 (n.d) d / L^5)
+        with d = R p_cam — the reference carries only the first term and
+        parks the radius-falloff in a rotation expression;
+      * rotation: m is INVARIANT (R p_cam independent of the R update) —
+        the reference's extra rotation term hat(p) p is identically the
+        zero vector (p x p), so dropping it changes nothing numerically.
+    Validated against jax autodiff through the full residual
+    (tests/test_refine_jacobians.py::test_pose_jacobian_matches_autodiff).
+    As everywhere in the refinement, n is the normalized stored gradient,
+    which the reference's updateGrad keeps equal to the FD shading normal
+    after every distance update."""
     R = poses[:, :3, :3]
     base_left = -jnp.einsum("nfcx,fyx->nfcy", G, R)
     base_right = jnp.einsum("nfcx,nfxy->nfcy", G, se3.hat(rd.p_cam))
@@ -97,20 +112,14 @@ def pose_jacobian_led(
     l3 = jnp.maximum(pn, 1e-12) ** 3
     l5 = jnp.maximum(pn, 1e-12) ** 5
     rho_l = albedo * light[None, :]                   # [N,3]
-    # LED_t_grad rows: -(rho_c l_c / |p|^3) normal^T
-    led_t = -(rho_l[:, None, :, None] / l3[..., None, None]) * normal[:, None, None, :]
-    # LED_R_grad rows: -3 rho_c l_c / |p|^5 * (n^T R p) * (skew(p) p)^T
-    Rp = jnp.einsum("fij,nfj->nfi", R, rd.p_cam)
+    Rp = jnp.einsum("fij,nfj->nfi", R, rd.p_cam)      # world ray x - t
     nRp = jnp.einsum("ni,nfi->nf", normal, Rp)
-    dl_dR = jnp.einsum("nfij,nfj->nfi", se3.hat(rd.p_cam), rd.p_cam)
-    led_R = (
-        -3.0
-        * rho_l[:, None, :, None]
-        / l5[..., None, None]
-        * nRp[..., None, None]
-        * dl_dR[:, :, None, :]
-    )
-    return jnp.concatenate([base_left + led_t, base_right + led_R], axis=-1)
+    term_vec = (
+        -normal[:, None, :] / l3[..., None]
+        + 3.0 * nRp[..., None] * Rp / l5[..., None]
+    )                                                 # [N,F,3vec]
+    led_t = rho_l[:, None, :, None] * term_vec[:, :, None, :]
+    return jnp.concatenate([base_left + led_t, base_right], axis=-1)
 
 
 def albedo_jacobian_sh(
