@@ -18,7 +18,10 @@ Deviations from the reference (documented, deliberate):
     157-167 uses += where PsOptimizerJa.cpp:200-210 uses -=); the SH
     convention is the mathematically correct derivative of the one-sided FD
     normal, so both models use it here (validated against jax.grad in
-    tests/test_refine_jacobians.py).
+    tests/test_refine_jacobians.py; experimentally, the LED alternating
+    loop reaches ~42% lower PS energy with this convention than with the
+    reference's on a 3-view near-field scene —
+    tests/test_led_convention.py, trace 2.111 -> 0.0037 vs -> 0.0064).
 """
 
 from __future__ import annotations
