@@ -99,8 +99,8 @@ def main(argv=None) -> int:
                  NotImplementedError)
     with trace_ctx:
         while True:
-            # the compile cache is enabled by the pipeline at the
-            # refinement phase only — see ReconstructionPipeline.run
+            # the compile cache is enabled by the pipeline for the whole
+            # run — see ReconstructionPipeline._enable_compile_cache
             pipe = ReconstructionPipeline(
                 cfg, checkpoint_every=args.checkpoint_every, resume=resume,
                 compile_cache_dir=args.compile_cache)
@@ -113,11 +113,6 @@ def main(argv=None) -> int:
                 attempt += 1
                 if attempt > args.retries:
                     raise
-                if args.compile_cache:
-                    # the failed attempt may have enabled the refinement-
-                    # phase cache; the retry's scan must run uncached
-                    import jax
-                    jax.config.update("jax_compilation_cache_dir", None)
                 # resume only from a checkpoint THIS run wrote — a stale
                 # checkpoint from an earlier run in the same output dir
                 # must not leak into this one; prefer the newest phase

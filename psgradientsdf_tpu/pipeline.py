@@ -49,6 +49,23 @@ def compute_centroid(K: np.ndarray, depth: np.ndarray, pose: np.ndarray) -> np.n
     return pts.mean(axis=0).astype(np.float32)
 
 
+def keyframe_sample_positions(n: int, max_num: int) -> List[int]:
+    """Positions kept by uniform down-sampling to <= max_num keyframes,
+    always keeping the last (sampleKeyFrame, main_ps.cpp:392-421)."""
+    if n < max_num:
+        return list(range(n))
+    max_num -= 1
+    step = n / float(max_num)
+    # replicate the reference's float accumulation exactly
+    pos = []
+    idx = 0.0
+    for _ in range(max_num):
+        pos.append(int(idx))
+        idx += step
+    pos.append(n - 1)
+    return pos
+
+
 def sample_keyframes(
     indices: List[int], stamps: List[str], images: List[np.ndarray],
     poses: List[np.ndarray], max_num: int,
@@ -57,17 +74,13 @@ def sample_keyframes(
     (sampleKeyFrame, main_ps.cpp:392-421)."""
     if len(indices) < max_num:
         return indices, stamps, images, poses
-    max_num -= 1
-    step = len(indices) / float(max_num)
+    pos = keyframe_sample_positions(len(indices), max_num)[:-1]
     out = ([], [], [], [])
-    idx = 0.0
-    for _ in range(max_num):
-        i = int(idx)
+    for i in pos:
         out[0].append(indices[i])
         out[1].append(stamps[i])
         out[2].append(images[i])
         out[3].append(poses[i])
-        idx += step
     out[0].append(indices[-1])
     out[1].append(stamps[-1])
     out[2].append(images[-1])
@@ -120,6 +133,8 @@ class ReconstructionPipeline:
         self.track_log: List[Dict] = []
         self._dist_to_last_kf = 0
         self._last_ckpt_frames = 0
+        self._cache_enabled = False
+        self._enable_compile_cache()
 
     # ------------------------------------------------------------ stages
 
@@ -169,6 +184,11 @@ class ReconstructionPipeline:
         key_indices: List[int] = [0]
         key_stamps: List[str] = []
         key_images: List[np.ndarray] = []
+        # device-resident copies of the keyframe images (same order): the
+        # scan already uploads every frame for fusion, so refinement reuses
+        # those buffers instead of re-staging ~F*HW*3 bytes over H2D; falls
+        # back to uploading key_images when incomplete (resume path)
+        key_images_dev: List[jax.Array] = []
         key_poses: List[np.ndarray] = [np.eye(4, dtype=np.float32)]
         cur_pose = np.eye(4, dtype=np.float32)   # host copy; H2D only at kernel calls
         self._dist_to_last_kf = 0
@@ -220,7 +240,13 @@ class ReconstructionPipeline:
             cur_pose = base_pose
             self._fuse(color, depth, jnp.asarray(base_pose), 0)
             key_stamps.append(self.loader.rgb_timestamp)
-            key_images.append(color)
+            # store the WIRE-format image (raw uint8 under the prefetch
+            # loader), matching what the chunk gate stores for every other
+            # keyframe — mixing the metric float frame 0 with raw frames
+            # silently skips set_keyframes' /255 and made keyframe 0 255x
+            # dimmer in the refinement
+            key_images.append(first[0])
+            key_images_dev.append(jnp.asarray(first[0]))
             if gt:
                 key_poses[0] = base_pose
             pose_lines.append(
@@ -314,7 +340,11 @@ class ReconstructionPipeline:
         def stage(data) -> None:
             nonlocal cur_pose_dev
             self.timer.tic()
-            rec = dict(data=data, arrs=make_arrays(data),
+            arrs = make_arrays(data)
+            # upload the chunk's colors ONCE; the device array also serves
+            # as the keyframe image source at refinement (no re-upload)
+            arrs["colors"] = jnp.asarray(arrs["colors"])
+            rec = dict(data=data, arrs=arrs,
                        vol_before=self.vol, pose_before=cur_pose_dev,
                        t_stage=time.perf_counter())
             new_vol, res = dispatch(self.vol, cur_pose_dev, rec["arrs"])
@@ -372,6 +402,7 @@ class ReconstructionPipeline:
                     self._keyframe_gate(
                         col_j, idx - tr.first, cur_pose, float(sharp[j]), rgb_ts,
                         key_indices, key_stamps, key_images, key_poses,
+                        key_images_dev, rec["arrs"]["colors"][j],
                     )
                 pose_lines.append(trajectory.pose_line(depth_ts, cur_pose))
                 frames_done += 1
@@ -439,36 +470,67 @@ class ReconstructionPipeline:
 
         if refine and key_images:
             self._enable_refine_compile_cache()
-            key_indices, key_stamps, key_images, key_poses = sample_keyframes(
-                key_indices, key_stamps, key_images, key_poses,
-                self.cfg.tpu.keyframe_cap,
-            )
+            if len(key_images_dev) == len(key_images):
+                # all keyframe images already live on device from the scan
+                pos = keyframe_sample_positions(
+                    len(key_indices), self.cfg.tpu.keyframe_cap)
+                key_indices = [key_indices[i] for i in pos]
+                key_stamps = [key_stamps[i] for i in pos]
+                key_poses = [key_poses[i] for i in pos]
+                images = jnp.stack([key_images_dev[i] for i in pos])
+            else:  # resume path: re-upload the host copies
+                key_indices, key_stamps, key_images, key_poses = sample_keyframes(
+                    key_indices, key_stamps, key_images, key_poses,
+                    self.cfg.tpu.keyframe_cap,
+                )
+                images = np.stack(key_images)
             self.refiner = PhotometricRefiner(
                 self.vol, self.geom, cfg.optimizer, self.K,
                 save_path=out, truncation=truncation, metrics=self.metrics,
                 mesh=self.mesh,
             )
+            t_sk = time.perf_counter()
             self.refiner.set_keyframes(
-                np.stack(key_images), np.stack(key_poses), key_indices, key_stamps
+                images, np.stack(key_poses), key_indices, key_stamps
             )
+            self.metrics.log("refine_setup", stage="set_keyframes",
+                             seconds=time.perf_counter() - t_sk,
+                             on_device=len(key_images_dev) == len(key_images))
             self.refiner.init()
             summary.update(self._run_refinement())
 
         return summary
 
     def _enable_refine_compile_cache(self) -> None:
-        if not self.compile_cache_dir:
+        # Kept for call-site compatibility: the cache is now enabled for the
+        # WHOLE pipeline in __init__ (scan included) — see
+        # _enable_compile_cache for the root-cause note.
+        self._enable_compile_cache()
+
+    def _enable_compile_cache(self) -> None:
+        if not self.compile_cache_dir or self._cache_enabled:
             return
-        # persistent XLA cache, enabled only at the refinement phase: the
-        # refinement block programs hit it reliably (first calls 32-45 s ->
-        # 1.5-3.3 s, refine wall 244 -> 61 s on the sokrates demo), while
-        # the megapixel scan program misses it on the axon backend AND
-        # compiles far slower under cache writing (42 -> 265-333 s) — so
-        # the scan runs uncached.
+        # Persistent XLA cache for every program (scan + refinement).
+        # Root cause of the round-1 "scan compiles 6-8x slower under cache
+        # writing" pathology: with the persistent cache enabled, jax's
+        # get_compile_options() injects GPU-only XLA-cache knobs
+        # (xla_gpu_per_fusion_autotune_cache_dir + autotune_cache_mode=
+        # UPDATE) into EVERY compile's CompileOptions proto.  On the
+        # tunneled TPU backend a changed options proto defeats server-side
+        # compile memoization and hits an untested remote-compiler path.
+        # Setting jax_persistent_cache_enable_xla_caches="" keeps the
+        # options proto identical to the uncached case (the flags are
+        # meaningless on TPU), which makes the scan cacheable too.
+        # min_compile_time=0 also caches the many sub-second eager-op
+        # programs: each costs a ~0.35-0.45 s compile RPC over the tunnel
+        # but only ~0.06 s to load from cache (measured, BASELINE.md
+        # "Compile tax & persistent cache").
         import jax as _jax
+        _jax.config.update("jax_persistent_cache_enable_xla_caches", "")
         _jax.config.update("jax_compilation_cache_dir", self.compile_cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        self._cache_enabled = True
         self.metrics.log("compile_cache", dir=self.compile_cache_dir)
 
     def _run_refinement(self) -> Dict:
@@ -539,6 +601,7 @@ class ReconstructionPipeline:
     def _keyframe_gate(
         self, color, frame_counter, pose_np, sharp: float, rgb_ts: str,
         key_indices, key_stamps, key_images, key_poses,
+        key_images_dev=None, color_dev=None,
     ) -> None:
         """Sharpness-or-gap keyframe gate (main_ps.cpp:222-258); the LAPM
         measure arrives precomputed from the chunk scan."""
@@ -547,6 +610,8 @@ class ReconstructionPipeline:
             key_stamps.append(rgb_ts)
             key_images.append(color)
             key_poses.append(pose_np)
+            if key_images_dev is not None and color_dev is not None:
+                key_images_dev.append(color_dev)
             self._dist_to_last_kf = 0
         else:
             self._dist_to_last_kf += 1

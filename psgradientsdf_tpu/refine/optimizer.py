@@ -399,7 +399,8 @@ class PhotometricRefiner:
         keyframe_indices: Sequence[int],
         timestamps: Sequence[str] = (),
     ) -> None:
-        images = np.asarray(images)
+        if not isinstance(images, jax.Array):
+            images = np.asarray(images)
         if images.dtype == np.uint8:    # raw-wire keyframes: convert on device
             self.images = jnp.asarray(images).astype(jnp.float32) / 255.0
         else:
@@ -411,12 +412,18 @@ class PhotometricRefiner:
     def init(self) -> None:
         """select_vis + surface extraction + light init
         (PsOptimizer.cpp:25-42 / LedOptimizer.cpp:25-36)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         self.prob = extract_problem(self.vol, self.geom, self.keyframe_indices)
+        t_extract = _time.perf_counter() - t0
         self.dist = self.prob.dist
         self.albedo = self.prob.albedo
         self.grad_stored = self.prob.grad_stored
         n = int(self.prob.n_surface)
-        self.metrics.log("refine_init", surface_voxels=n, keyframes=len(self.keyframe_indices))
+        self.metrics.log("refine_init", surface_voxels=n,
+                         keyframes=len(self.keyframe_indices),
+                         extract_seconds=t_extract)
 
         self.place_on_mesh()
 
@@ -671,7 +678,7 @@ class PhotometricRefiner:
                                  seconds=T.toc("refine_checkpoint"))
             if it % 3 == 0:
                 self.save_poses(f"after_poses_opt_{it}")
-                self._save_artifacts(f"after_iter_{it}")
+                self._save_artifacts(f"after_iter_{it}", asynchronous=True)
 
         # budget exhausted: the reference ends WITHOUT a final save here
         # (PsOptimizer.cpp:425-427 — only the every-3-iteration dumps
@@ -704,13 +711,56 @@ class PhotometricRefiner:
     def sync_to_volume(self) -> None:
         self.vol = writeback(self.vol, self.prob, self.dist, self.albedo, self.grad_stored)
 
-    def _save_artifacts(self, tag: str) -> None:
+    def _join_dump(self) -> None:
+        t = getattr(self, "_dump_thread", None)
+        if t is not None:
+            t.join()
+            self._dump_thread = None
+
+    def _save_artifacts(self, tag: str, asynchronous: bool = False) -> None:
+        """Mesh + pointcloud dump.  asynchronous=True offloads the D2H
+        fetch, host marching cubes, and PLY writes to a background thread —
+        jax arrays are immutable, so capturing the current (synced) volume
+        and problem arrays is race-free even while the alternating loop
+        rebinds them; the periodic every-3-iteration dumps
+        (PsOptimizer.cpp:419-423) otherwise serialize ~3-5 s of host work
+        into the warm loop."""
         if not self.save_path:
             return
         self.sync_to_volume()
         os.makedirs(self.save_path, exist_ok=True)
-        self.extract_mesh(tag)
-        self.save_pointcloud(tag)
+        self._join_dump()
+        if not asynchronous:
+            self.extract_mesh(tag)
+            self.save_pointcloud(tag)
+            return
+
+        import threading
+
+        vol, geom, path = self.vol, self.geom, self.save_path
+        prob, dist, albedo = self.prob, self.dist, self.albedo
+        ghat_dev = geometry.normalize(self.grad_stored)
+
+        def work():
+            mesh = extract_mesh_from_volume(
+                np.asarray(vol.dist), np.asarray(vol.weight),
+                np.asarray(vol.color), geom.voxel_size, geom.origin,
+            )
+            ply.write_mesh_ply(
+                os.path.join(path, f"{tag}_mesh.ply"),
+                mesh.vertices, mesh.faces, mesh.colors,
+            )
+            n = int(prob.n_surface)
+            ghat = np.asarray(ghat_dev)[:n]
+            c_v = np.asarray(geom.voxel2world(prob.idx_xyz))[:n]
+            d = np.asarray(dist)[:n]
+            ply.write_pointcloud_ply(
+                os.path.join(path, f"{tag}_pointcloud.ply"),
+                c_v - d[:, None] * ghat, ghat, np.asarray(albedo)[:n],
+            )
+
+        self._dump_thread = threading.Thread(target=work, daemon=True)
+        self._dump_thread.start()
 
     def extract_mesh(self, tag: str) -> bool:
         self.sync_to_volume()
