@@ -460,7 +460,7 @@ class ReconstructionPipeline:
         if out:
             with open(os.path.join(out, "tracking_poses.txt"), "w") as fh:
                 fh.write("\n".join(pose_lines) + "\n")
-            self._export_initial(out)
+            self._export_initial_async(out)
 
         summary: Dict = dict(
             frames=frames_done, seconds=scan_secs,
@@ -499,6 +499,7 @@ class ReconstructionPipeline:
             self.refiner.init()
             summary.update(self._run_refinement())
 
+        self._join_export()
         return summary
 
     def _enable_refine_compile_cache(self) -> None:
@@ -616,41 +617,60 @@ class ReconstructionPipeline:
         else:
             self._dist_to_last_kf += 1
 
-    def _export_initial(self, out: str) -> None:
-        self.timer.tic()
+    def _join_export(self) -> None:
+        t = getattr(self, "_export_thread", None)
+        if t is not None:
+            t.join()
+            self._export_thread = None
+
+    def _export_initial_async(self, out: str) -> None:
+        """Run _export_initial on a background thread so its ~15 s of
+        full-volume D2H + host marching cubes overlaps the refinement
+        setup/compiles instead of sitting between scan and refinement.
+        The captured volume pytree is immutable, so the later rebinding of
+        self.vol by the refiner is race-free; joined before run() returns."""
+        import threading
+
+        vol, geom = self.vol, self.geom
+        self._export_thread = threading.Thread(
+            target=self._export_initial, args=(out, vol, geom), daemon=True)
+        self._export_thread.start()
+
+    def _export_initial(self, out: str, vol=None, geom=None) -> None:
+        vol = vol if vol is not None else self.vol
+        geom = geom if geom is not None else self.geom
         mesh = extract_mesh_from_volume(
-            np.asarray(self.vol.dist), np.asarray(self.vol.weight),
-            np.asarray(self.vol.color), self.geom.voxel_size, self.geom.origin,
+            np.asarray(vol.dist), np.asarray(vol.weight),
+            np.asarray(vol.color), geom.voxel_size, geom.origin,
         )
         ply.write_mesh_ply(
             os.path.join(out, "init_mesh.ply"), mesh.vertices, mesh.faces, mesh.colors
         )
-        self.timer.toc("save_mesh")
 
         # point cloud: x = c_v - d ghat over the surface band
-        dist = np.asarray(self.vol.dist)
-        grad = np.asarray(self.vol.grad)
-        colr = np.asarray(self.vol.color)
+        dist = np.asarray(vol.dist)
+        grad = np.asarray(vol.grad)
+        colr = np.asarray(vol.color)
         from psgradientsdf_tpu.core.volume import surface_band_mask
 
-        band = np.asarray(surface_band_mask(self.vol, self.geom.voxel_size))
+        band = np.asarray(surface_band_mask(vol, geom.voxel_size))
         zz, yy, xx = np.nonzero(band)
         g = grad[zz, yy, xx]
         g = g / np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
-        c_v = np.asarray(self.geom.voxel2world(jnp.asarray(
+        c_v = np.asarray(geom.voxel2world(jnp.asarray(
             np.stack([xx, yy, zz], axis=-1), dtype=jnp.int32)))
         pts = c_v - dist[zz, yy, xx][:, None] * g
         ply.write_pointcloud_ply(
             os.path.join(out, "init_pointcloud.ply"), pts, g, colr[zz, yy, xx]
         )
 
-        in_band = np.abs(dist) <= np.sqrt(3.0) * self.geom.voxel_size
+        in_band = np.abs(dist) <= np.sqrt(3.0) * geom.voxel_size
         if in_band.any():
             z2, y2, x2 = np.nonzero(in_band)
             sl = (slice(z2.min(), z2.max() + 1), slice(y2.min(), y2.max() + 1),
                   slice(x2.min(), x2.max() + 1))
-            bottom = (x2.min() * self.geom.voxel_size,
-                      y2.min() * self.geom.voxel_size,
-                      z2.min() * self.geom.voxel_size)
+            bottom = (x2.min() * geom.voxel_size,
+                      y2.min() * geom.voxel_size,
+                      z2.min() * geom.voxel_size)
             sdf_io.write_sdf(os.path.join(out, "init_sdf.sdf"), dist[sl], bottom,
-                             self.geom.voxel_size)
+                             geom.voxel_size)

@@ -11,17 +11,24 @@ any backend is initialized (backends init lazily on first use).
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("PSGSDF_TEST_TPU", "") == "1":
+    # run against the real accelerator (the TPU-gated goldens in
+    # test_goldens.py need this: PSGSDF_TEST_TPU=1 python -m pytest
+    # tests/test_goldens.py -q); everything CPU-mesh-dependent will skip
+    # or run single-device
+    import jax
+else:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", False)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", False)
 
-assert jax.default_backend() == "cpu", jax.default_backend()
-assert jax.device_count() >= 8, jax.devices()
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    assert jax.device_count() >= 8, jax.devices()
