@@ -31,9 +31,11 @@ import time
 import numpy as np
 
 W, H = 640, 480
-DIM = 128
-FRAMES_TPU = 200
-FRAMES_CPP = 12
+# PSGSDF_BENCH_DIM overrides the grid for scaling studies (e.g. 256); the
+# headline metric/BENCH_details stay keyed to the default 128
+DIM = int(os.environ.get("PSGSDF_BENCH_DIM", "128"))
+FRAMES_TPU = int(os.environ.get("PSGSDF_BENCH_FRAMES", "200"))
+FRAMES_CPP = max(2, 12 // max(1, (DIM // 128) ** 3))
 OFFSET = np.array([0.004, -0.003, 0.005, 0.002, -0.002, 0.0015], dtype=np.float32)
 
 
@@ -280,7 +282,7 @@ def main() -> int:
         log(f"[bench] refine bench failed: {type(e).__name__}: {e}")
 
     result = {
-        "metric": "track_fuse_frames_per_s_128cube",
+        "metric": f"track_fuse_frames_per_s_{DIM}cube",
         "value": round(tpu["fps"], 3),
         "unit": "frames/s",
         "vs_baseline": round(tpu["fps"] / cpp["fps"], 3),
@@ -299,7 +301,11 @@ def main() -> int:
         **refine,
     }
     try:
-        with open("BENCH_details.json", "w") as fh:
+        # BENCH_details.json is the headline (128^3) record; scaling-study
+        # runs (PSGSDF_BENCH_DIM != 128) write a suffixed file instead
+        name = ("BENCH_details.json" if DIM == 128
+                else f"BENCH_details_{DIM}.json")
+        with open(name, "w") as fh:
             json.dump(details, fh, indent=2)
     except OSError:
         pass
