@@ -35,7 +35,9 @@ W, H = 640, 480
 # headline metric/BENCH_details stay keyed to the default 128
 DIM = int(os.environ.get("PSGSDF_BENCH_DIM", "128"))
 FRAMES_TPU = int(os.environ.get("PSGSDF_BENCH_FRAMES", "200"))
-FRAMES_CPP = max(2, 12 // max(1, (DIM // 128) ** 3))
+# C++ frame budget scales with the real voxel ratio (cost is ~linear in
+# voxels), so off-power dims (192, 512) get a proportional budget too
+FRAMES_CPP = max(2, int(12 / max(1.0, (DIM / 128) ** 3)))
 OFFSET = np.array([0.004, -0.003, 0.005, 0.002, -0.002, 0.0015], dtype=np.float32)
 
 
@@ -44,23 +46,10 @@ def log(*a):
 
 
 def make_scene():
-    fx = fy = 0.9 * W
-    cx, cy = W / 2.0, H / 2.0
-    cols = np.arange(W, dtype=np.float32)[None, :]
-    rows = np.arange(H, dtype=np.float32)[:, None]
-    x0 = np.broadcast_to((cols - cx) / fx, (H, W))
-    y0 = np.broadcast_to((rows - cy) / fy, (H, W))
-    depth = (
-        1.2 + 0.08 * np.sin(6 * x0) * np.cos(5 * y0) + 0.05 * np.sin(3 * (x0 + y0))
-    ).astype(np.float32)
-    dgx = 0.08 * 6 * np.cos(6 * x0) * np.cos(5 * y0) + 0.15 * np.cos(3 * (x0 + y0))
-    dgy = -0.08 * 5 * np.sin(6 * x0) * np.sin(5 * y0) + 0.15 * np.cos(3 * (x0 + y0))
-    n = np.stack([-dgx, -dgy, np.ones_like(dgx)], axis=-1)
-    n /= np.linalg.norm(n, axis=-1, keepdims=True)
-    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float32)
-    n_sq_inv = (1.0 / (1.0 + x0 ** 2 + y0 ** 2)).astype(np.float32)
-    color = np.full((H, W, 3), 0.5, dtype=np.float32)
-    return K, depth, n.astype(np.float32), n_sq_inv, color
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench"))
+    from bench_scene import make_scene as shared_scene
+    return shared_scene(W, H)
 
 
 def run_cpp_baseline() -> dict:

@@ -110,6 +110,10 @@ def main(argv=None) -> int:
             except _NO_RETRY:
                 raise
             except Exception as e:  # elastic recovery (SURVEY §5.3)
+                # the failed pipeline's async init-artifact export must not
+                # keep writing stale-volume files into the output dir while
+                # the retry attempt runs (or be torn at interpreter exit)
+                pipe._join_export(swallow=True)
                 attempt += 1
                 if attempt > args.retries:
                     raise

@@ -462,6 +462,133 @@ def _fuse_culled_slab(
     )
 
 
+class PackedVolume(NamedTuple):
+    """Gather-native volume state for the streaming (track+fuse) hot path.
+
+    The tracker's per-pixel gather wants one row-gatherable [V,8] table of
+    (dist, grad, weight) — with the SoA GradSdfVolume layout that table had
+    to be re-concatenated from the volume arrays on EVERY track_frame call
+    (pack_tracking_payload): ~536 MB of pure copy traffic per frame at
+    256^3, the dominant per-frame cost of the round-2 chunk program.  Here
+    the packed table IS the float state — fusion gathers/updates/scatters
+    its rows directly (fuse_frame_culled_packed) and tracking gathers from
+    it with zero repacking.
+
+        payload [Z,Y,X,8] f32:  dist, grad(3), weight, color(3)
+        vis     [W,Z,Y,X] u32:  bit-packed per-frame visibility
+
+    Slots 0,1:4,4 line up with pack_tracking_payload's layout, so
+    sdf_records_packed / track_frame consume `payload.reshape(-1,8)`
+    unchanged; slots 5:8 carry the running-mean color (the streaming state
+    that previously lived in its own array).  Convert at phase boundaries
+    (scan start / refinement handoff) with from_volume / to_volume — one
+    copy per PHASE instead of one per frame."""
+
+    payload: jax.Array   # [Z,Y,X,8] f32
+    vis: jax.Array       # [W,Z,Y,X] uint32
+
+    @classmethod
+    def from_volume(cls, vol: "GradSdfVolume") -> "PackedVolume":
+        payload = jnp.concatenate(
+            [vol.dist[..., None], vol.grad, vol.weight[..., None], vol.color],
+            axis=-1)
+        return cls(payload=payload, vis=vol.vis)
+
+    def to_volume(self) -> "GradSdfVolume":
+        p = self.payload
+        return GradSdfVolume(
+            dist=p[..., 0], grad=p[..., 1:4], weight=p[..., 4],
+            color=p[..., 5:8], vis=self.vis)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "geom", "truncation", "zmin", "zmax", "cos_thresh_sq", "row_capacity"
+    ),
+)
+def fuse_frame_culled_packed(
+    pvol: PackedVolume,
+    geom: GridGeometry,
+    color: jax.Array,
+    depth: jax.Array,
+    normals: jax.Array,
+    n_sq_inv: jax.Array,
+    K: jax.Array,
+    pose: jax.Array,
+    frame_idx: jax.Array,
+    gate: Optional[jax.Array] = None,
+    *,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+    cos_thresh_sq: float = 0.25 * 0.25,
+    row_capacity: int,
+) -> Tuple[PackedVolume, jax.Array]:
+    """fuse_frame_culled on PackedVolume state: identical level-1 cull and
+    per-voxel math (shared _row_activity / _fuse_voxel_update), but the
+    level-2 gather/scatter moves ONE [CAP, X, 8] row table instead of four
+    separate state arrays — and leaves the tracking payload up to date for
+    free (see PackedVolume)."""
+    active = _row_activity(
+        geom, depth, K, pose, truncation=truncation, zmin=zmin, zmax=zmax)
+    if gate is not None:
+        active = active & gate
+    pix_payload = pack_pixel_payload(color, depth, normals, n_sq_inv)
+
+    H, W = depth.shape
+    X, Y, Zd = geom.dims
+    ZY = Zd * Y
+    origin = jnp.array(geom.origin, dtype=jnp.float32)
+    h = geom.voxel_size
+
+    active_flat = active.reshape(-1)
+    n_active = jnp.sum(active_flat.astype(jnp.int32))
+    overflow = n_active > row_capacity
+    (rows_idx,) = jnp.nonzero(active_flat, size=row_capacity, fill_value=ZY)
+    slot_ok = rows_idx < ZY
+    safe_rows = jnp.minimum(rows_idx, ZY - 1)
+
+    state3 = pvol.payload.reshape(ZY, X, 8)
+    rows = jnp.take(state3, safe_rows, axis=0)            # [CAP, X, 8]
+    word = frame_idx // 32
+    bit = (jnp.uint32(1) << jnp.uint32(frame_idx % 32))
+    vis_word = jax.lax.dynamic_index_in_dim(
+        pvol.vis.reshape(-1, ZY, X), word, axis=0, keepdims=False)
+    vw_r = jnp.take(vis_word, safe_rows, axis=0)
+
+    rz = (safe_rows // Y).astype(jnp.float32)
+    ry = (safe_rows % Y).astype(jnp.float32)
+    rx = jnp.arange(X, dtype=jnp.float32)[None, :]
+    p_w = jnp.stack(
+        [origin[0] + h * jnp.broadcast_to(rx, (row_capacity, X)),
+         origin[1] + h * jnp.broadcast_to(ry[:, None], (row_capacity, X)),
+         origin[2] + h * jnp.broadcast_to(rz[:, None], (row_capacity, X))],
+        axis=-1)
+
+    row_gate = slot_ok[:, None]
+    if gate is not None:
+        row_gate = row_gate & gate
+    nd, ng, nw, nc, vis_or = _fuse_voxel_update(
+        p_w, rows[..., 0], rows[..., 1:4], rows[..., 4], rows[..., 5:8],
+        pix_payload, K, pose, (H, W), bit, row_gate,
+        truncation=truncation, zmin=zmin, zmax=zmax,
+        cos_thresh_sq=cos_thresh_sq,
+    )
+    new_rows = jnp.concatenate(
+        [nd[..., None], ng, nw[..., None], nc], axis=-1)
+    nvw = vw_r | vis_or
+
+    new_payload = state3.at[rows_idx].set(
+        new_rows, mode="drop").reshape(pvol.payload.shape)
+    new_vis_word = vis_word.at[rows_idx].set(nvw, mode="drop")
+    new_vis = jax.lax.dynamic_update_index_in_dim(
+        pvol.vis.reshape(-1, ZY, X), new_vis_word, word, axis=0
+    ).reshape(pvol.vis.shape)
+
+    return PackedVolume(payload=new_payload, vis=new_vis), overflow
+
+
 def vis_bit(vis: jax.Array, frame_idx) -> jax.Array:
     """Extract boolean visibility of frame `frame_idx` -> [Z,Y,X] bool."""
     word = frame_idx // 32

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -468,6 +469,22 @@ class ReconstructionPipeline:
             keyframes=len(key_indices), track_log=self.track_log,
         )
 
+        try:
+            self._run_refine_phase(
+                refine, key_images, key_images_dev, key_indices, key_stamps,
+                key_poses, cfg, out, truncation, summary)
+        finally:
+            # the init-artifact export thread must never outlive run(): a
+            # daemonic writer killed at interpreter exit (or racing a CLI
+            # retry's fresh pipeline into the same output dir) leaves torn
+            # PLY/SDF files.  Swallow its error only when another exception
+            # is already unwinding.
+            self._join_export(swallow=sys.exc_info()[0] is not None)
+        return summary
+
+    def _run_refine_phase(self, refine, key_images, key_images_dev,
+                          key_indices, key_stamps, key_poses, cfg, out,
+                          truncation, summary) -> None:
         if refine and key_images:
             self._enable_refine_compile_cache()
             if len(key_images_dev) == len(key_images):
@@ -498,9 +515,6 @@ class ReconstructionPipeline:
                              on_device=len(key_images_dev) == len(key_images))
             self.refiner.init()
             summary.update(self._run_refinement())
-
-        self._join_export()
-        return summary
 
     def _enable_refine_compile_cache(self) -> None:
         # Kept for call-site compatibility: the cache is now enabled for the
@@ -617,23 +631,45 @@ class ReconstructionPipeline:
         else:
             self._dist_to_last_kf += 1
 
-    def _join_export(self) -> None:
+    def _join_export(self, swallow: bool = False) -> None:
+        """Join the init-artifact export thread and surface its outcome.
+
+        An exception raised inside the worker is re-raised here (a failed
+        export must not report success); with swallow=True it is only
+        metrics-logged — for paths where another exception is already
+        unwinding (run()'s finally) or a retry is discarding this pipeline
+        (cli.py)."""
         t = getattr(self, "_export_thread", None)
         if t is not None:
             t.join()
             self._export_thread = None
+            exc = getattr(self, "_export_exc", None)
+            self._export_exc = None
+            if exc is not None:
+                self.metrics.log("export_error", error=repr(exc))
+                if not swallow:
+                    raise exc
 
     def _export_initial_async(self, out: str) -> None:
         """Run _export_initial on a background thread so its ~15 s of
         full-volume D2H + host marching cubes overlaps the refinement
         setup/compiles instead of sitting between scan and refinement.
         The captured volume pytree is immutable, so the later rebinding of
-        self.vol by the refiner is race-free; joined before run() returns."""
+        self.vol by the refiner is race-free; joined (and its exceptions
+        re-raised) before run() returns — non-daemon, so even an unwinding
+        interpreter waits for the writes to finish instead of tearing them."""
         import threading
 
         vol, geom = self.vol, self.geom
-        self._export_thread = threading.Thread(
-            target=self._export_initial, args=(out, vol, geom), daemon=True)
+        self._export_exc = None
+
+        def work():
+            try:
+                self._export_initial(out, vol, geom)
+            except BaseException as e:  # surfaced on join
+                self._export_exc = e
+
+        self._export_thread = threading.Thread(target=work, daemon=False)
         self._export_thread.start()
 
     def _export_initial(self, out: str, vol=None, geom=None) -> None:

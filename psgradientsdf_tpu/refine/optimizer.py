@@ -561,6 +561,23 @@ class PhotometricRefiner:
             E_vec = [E_total]
             it = 0
 
+        try:
+            return self._alternating_loop(
+                light, albedo, distance, pose, T, damping, it, E, E_n, E_l,
+                E_r, E_total, E_vec, w_n, w_l, w_rho, normal_reg, albedo_reg,
+                laplacian_reg)
+        finally:
+            # an exception between an every-3-iteration async dump and the
+            # terminal synchronous save must not leave the dump thread
+            # running (torn PLY at interpreter exit); errors it captured
+            # are metrics-logged by _join_dump
+            self._join_dump()
+
+    def _alternating_loop(self, light, albedo, distance, pose, T, damping,
+                          it, E, E_n, E_l, E_r, E_total, E_vec,
+                          w_n, w_l, w_rho, normal_reg, albedo_reg,
+                          laplacian_reg) -> bool:
+        cfg = self.cfg
         while it < cfg.max_it:
             if albedo:
                 T.tic()
@@ -712,10 +729,18 @@ class PhotometricRefiner:
         self.vol = writeback(self.vol, self.prob, self.dist, self.albedo, self.grad_stored)
 
     def _join_dump(self) -> None:
+        """Join the async artifact-dump thread; a worker failure is
+        metrics-logged (a torn periodic dump must not report success, but
+        it is also not fatal to the refinement itself — the terminal
+        _save_artifacts writes fresh files synchronously)."""
         t = getattr(self, "_dump_thread", None)
         if t is not None:
             t.join()
             self._dump_thread = None
+            exc = getattr(self, "_dump_exc", None)
+            self._dump_exc = None
+            if exc is not None:
+                self.metrics.log("artifact_dump_error", error=repr(exc))
 
     def _save_artifacts(self, tag: str, asynchronous: bool = False) -> None:
         """Mesh + pointcloud dump.  asynchronous=True offloads the D2H
@@ -741,25 +766,32 @@ class PhotometricRefiner:
         prob, dist, albedo = self.prob, self.dist, self.albedo
         ghat_dev = geometry.normalize(self.grad_stored)
 
-        def work():
-            mesh = extract_mesh_from_volume(
-                np.asarray(vol.dist), np.asarray(vol.weight),
-                np.asarray(vol.color), geom.voxel_size, geom.origin,
-            )
-            ply.write_mesh_ply(
-                os.path.join(path, f"{tag}_mesh.ply"),
-                mesh.vertices, mesh.faces, mesh.colors,
-            )
-            n = int(prob.n_surface)
-            ghat = np.asarray(ghat_dev)[:n]
-            c_v = np.asarray(geom.voxel2world(prob.idx_xyz))[:n]
-            d = np.asarray(dist)[:n]
-            ply.write_pointcloud_ply(
-                os.path.join(path, f"{tag}_pointcloud.ply"),
-                c_v - d[:, None] * ghat, ghat, np.asarray(albedo)[:n],
-            )
+        self._dump_exc = None
 
-        self._dump_thread = threading.Thread(target=work, daemon=True)
+        def work():
+            try:
+                mesh = extract_mesh_from_volume(
+                    np.asarray(vol.dist), np.asarray(vol.weight),
+                    np.asarray(vol.color), geom.voxel_size, geom.origin,
+                )
+                ply.write_mesh_ply(
+                    os.path.join(path, f"{tag}_mesh.ply"),
+                    mesh.vertices, mesh.faces, mesh.colors,
+                )
+                n = int(prob.n_surface)
+                ghat = np.asarray(ghat_dev)[:n]
+                c_v = np.asarray(geom.voxel2world(prob.idx_xyz))[:n]
+                d = np.asarray(dist)[:n]
+                ply.write_pointcloud_ply(
+                    os.path.join(path, f"{tag}_pointcloud.ply"),
+                    c_v - d[:, None] * ghat, ghat, np.asarray(albedo)[:n],
+                )
+            except BaseException as e:  # surfaced by _join_dump
+                self._dump_exc = e
+
+        # non-daemon: an unwinding interpreter waits for the writes instead
+        # of tearing a half-written PLY
+        self._dump_thread = threading.Thread(target=work, daemon=False)
         self._dump_thread.start()
 
     def extract_mesh(self, tag: str) -> bool:

@@ -18,11 +18,17 @@ index arrays:
     as constants, exactly like the reference which reads them from the
     full grid but never assigns them Jacobian columns).
 
-Extraction runs on host (numpy) once per refinement / upsample.
+Extraction runs ON DEVICE (masked compaction + stencil index arithmetic are
+pure gather/nonzero work — round-2 VERDICT #5): one tiny jitted program
+counts the surface set (the only D2H sync, to pick the padded capacity on
+host), then one jitted program builds every problem array.  The original
+numpy path survives as extract_problem_host — the parity oracle
+(tests/test_problem_device.py asserts bit-identical results).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import List, NamedTuple, Sequence, Tuple
 
 import numpy as np
@@ -65,17 +71,165 @@ def _pad_cap(n: int, minimum: int = 1024) -> int:
     return cap
 
 
+def _kf_bit_arrays(keyframe_indices: Sequence[int], n_words: int):
+    """Host-side bit bookkeeping for select_vis: per-keyframe (word, bit)
+    plus the per-word OR-mask of all keyframe bits (for the `seen` test)."""
+    kf = np.asarray(keyframe_indices, dtype=np.int64)
+    words = (kf // 32).astype(np.int32)
+    bits = (np.uint32(1) << (kf % 32).astype(np.uint32)).astype(np.uint32)
+    word_masks = np.zeros(n_words, dtype=np.uint32)
+    for w, b in zip(words, bits):
+        word_masks[w] |= b
+    return words, bits, word_masks
+
+
+@functools.partial(jax.jit, static_argnames=("voxel_size",))
+def _surface_count(dist, vis, word_masks, *, voxel_size):
+    """Unpadded surface-set size: |d| <= sqrt(3) h AND seen in >= 1 keyframe
+    (OptimizerAux.cpp:237-257 + the select_vis keyframe re-indexing)."""
+    band = jnp.abs(dist) <= jnp.sqrt(jnp.float32(3.0)) * voxel_size
+    seen = jnp.any(
+        (vis & word_masks[:, None, None, None]) != 0, axis=0)
+    return jnp.sum(band & seen)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dims", "voxel_size", "capacity"))
+def _extract_device(dist3, grad3, color3, vis4, kf_words, kf_bits, word_masks,
+                    *, dims, voxel_size, capacity):
+    """The whole problem build as one device program (static capacity).
+
+    Matches extract_problem_host bit-for-bit: same nonzero (ascending ==
+    z-major iteration) order, same border clipping on frozen-neighbor
+    reads, same padded-row fill values."""
+    X, Y, Z = dims
+    V = X * Y * Z
+    dist = dist3.reshape(-1)
+    color = color3.reshape(-1, 3)
+    grad = grad3.reshape(-1, 3)
+
+    band = jnp.abs(dist) <= jnp.sqrt(jnp.float32(3.0)) * voxel_size
+    seen = jnp.any(
+        (vis4 & word_masks[:, None, None, None]) != 0, axis=0).reshape(-1)
+    surf = band & seen
+    n = jnp.sum(surf.astype(jnp.int32))
+
+    (lin,) = jnp.nonzero(surf, size=capacity, fill_value=V)
+    valid = lin < V
+    safe = jnp.minimum(lin, V - 1)
+    xi = (safe % X).astype(jnp.int32)
+    yi = ((safe // X) % Y).astype(jnp.int32)
+    zi = (safe // (X * Y)).astype(jnp.int32)
+
+    def pad0(a):     # padded rows carry the host path's zero fill
+        mask = valid.reshape((capacity,) + (1,) * (a.ndim - 1))
+        return jnp.where(mask, a, jnp.zeros_like(a))
+
+    idx_xyz = pad0(jnp.stack([xi, yi, zi], axis=-1))
+    d_out = pad0(jnp.take(dist, safe))
+    alb = pad0(jnp.take(color, safe, axis=0))
+    g_out = pad0(jnp.take(grad, safe, axis=0))
+
+    # vis re-indexed to keyframes: gather each voxel's words, then pick the
+    # per-keyframe word and test its bit
+    vis_nw = jnp.take(vis4.reshape(vis4.shape[0], V), safe, axis=1)  # [Wv,N]
+    vis_sel = jnp.take(vis_nw, kf_words, axis=0)                     # [F,N]
+    vis_out = ((vis_sel & kf_bits[:, None]) != 0).T & valid[:, None]
+
+    # compact map: -1 everywhere, compact index at surface voxels
+    cmap = jnp.full((V,), -1, dtype=jnp.int32).at[lin].set(
+        jnp.arange(capacity, dtype=jnp.int32), mode="drop")
+
+    base = jnp.stack([xi, yi, zi], axis=-1)                          # [N,3]
+    dims_v = jnp.array([X, Y, Z], dtype=jnp.int32)
+
+    def flat_idx(coords):
+        return (coords[:, 2] * Y + coords[:, 1]) * X + coords[:, 0]
+
+    nbr_dirs, nbr_idxs, nbr_dcs, nbr_acs = [], [], [], []
+    for ax in range(3):
+        step = jnp.zeros((3,), jnp.int32).at[ax].set(1)
+        fwd = base + step
+        in_b = fwd[:, ax] < dims_v[ax]
+        fwd_c = jnp.clip(fwd, 0, dims_v - 1)
+        fwd_compact = jnp.take(cmap, flat_idx(fwd_c))
+        use_fwd = in_b & (fwd_compact >= 0)
+        dirs = jnp.where(use_fwd, 1.0, -1.0).astype(jnp.float32)
+        nbr = jnp.clip(base + step * dirs.astype(jnp.int32)[:, None],
+                       0, dims_v - 1)  # border guard (§2.3 bug 3)
+        nl = flat_idx(nbr)
+        ci = jnp.take(cmap, nl)
+        frozen = ci < 0
+        nbr_dirs.append(jnp.where(valid, dirs, 1.0))
+        nbr_idxs.append(jnp.where(valid, ci, -1))
+        nbr_dcs.append(pad0(jnp.where(frozen, jnp.take(dist, nl), 0.0)))
+        nbr_acs.append(pad0(jnp.where(frozen[:, None],
+                                      jnp.take(color, nl, axis=0), 0.0)))
+    nbr_dir = jnp.stack(nbr_dirs, axis=-1)
+    nbr_idx = jnp.stack(nbr_idxs, axis=-1)
+    nbr_dc = jnp.stack(nbr_dcs, axis=-1)
+    nbr_ac = jnp.stack(nbr_acs, axis=1)          # [N, axis, channel]
+
+    lap_idxs, lap_dcs = [], []
+    for ax in range(3):
+        for sign in (+1, -1):
+            step = jnp.zeros((3,), jnp.int32).at[ax].set(sign)
+            nbr = jnp.clip(base + step, 0, dims_v - 1)
+            nl = flat_idx(nbr)
+            ci = jnp.take(cmap, nl)
+            lap_idxs.append(jnp.where(valid, ci, -1))
+            lap_dcs.append(pad0(jnp.where(ci < 0, jnp.take(dist, nl), 0.0)))
+    lap_idx = jnp.stack(lap_idxs, axis=-1)
+    lap_dc = jnp.stack(lap_dcs, axis=-1)
+
+    return RefineProblem(
+        valid=valid, idx_xyz=idx_xyz, dist=d_out, albedo=alb,
+        grad_stored=g_out, vis=vis_out, nbr_dir=nbr_dir, nbr_idx=nbr_idx,
+        nbr_dist_const=nbr_dc, nbr_albedo_const=nbr_ac, lap_idx=lap_idx,
+        lap_dist_const=lap_dc, n_surface=n.astype(jnp.int32),
+    )
+
+
 def extract_problem(
     vol: GradSdfVolume,
     geom: GridGeometry,
     keyframe_indices: Sequence[int],
     capacity: int = None,
 ) -> RefineProblem:
-    """select_vis + getSurfaceVoxel + stencil precomputation.
+    """select_vis + getSurfaceVoxel + stencil precomputation, on device.
 
     `keyframe_indices` are frame counters (bit positions in vol.vis),
-    mirroring Optimizer::select_vis (Optimizer.cpp:30-47).
+    mirroring Optimizer::select_vis (Optimizer.cpp:30-47).  The only host
+    sync is the surface count (capacity bucketing); the problem arrays are
+    built by one jitted program and never leave the device.
     """
+    Z, Y, X = vol.dist.shape
+    kf_words, kf_bits, word_masks = _kf_bit_arrays(
+        keyframe_indices, vol.vis.shape[0])
+    if capacity is None:
+        n = int(_surface_count(vol.dist, vol.vis, jnp.asarray(word_masks),
+                               voxel_size=geom.voxel_size))
+        capacity = _pad_cap(n)
+    prob = _extract_device(
+        vol.dist, vol.grad, vol.color, vol.vis, jnp.asarray(kf_words),
+        jnp.asarray(kf_bits), jnp.asarray(word_masks),
+        dims=(X, Y, Z), voxel_size=geom.voxel_size, capacity=capacity,
+    )
+    n = int(prob.n_surface)
+    if n > capacity:
+        raise ValueError(f"surface count {n} exceeds capacity {capacity}")
+    return prob
+
+
+def extract_problem_host(
+    vol: GradSdfVolume,
+    geom: GridGeometry,
+    keyframe_indices: Sequence[int],
+    capacity: int = None,
+) -> RefineProblem:
+    """Host (numpy) reference implementation of extract_problem — kept as
+    the parity oracle for the device path (and for environments where the
+    volume is already host-resident)."""
     dist = np.asarray(vol.dist)
     grad = np.asarray(vol.grad)
     color = np.asarray(vol.color)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from psgradientsdf_tpu.core.grid import GridGeometry
 from psgradientsdf_tpu.core.volume import (
     GradSdfVolume,
+    PackedVolume,
     pack_tracking_payload,
     sdf_query,
     sdf_records_packed,
@@ -252,8 +253,13 @@ def track_frame(
     ).reshape(-1, 3)
     valid_z = ((z > zmin) & (z < zmax)).reshape(-1)
 
-    # pack (dist, grad, weight) once: one row-gather per pixel per round
-    payload = pack_tracking_payload(vol)
+    # one row-gatherable [V,8] (dist, grad, weight) table: a PackedVolume
+    # already stores its float state in exactly this layout (zero-copy —
+    # the streaming hot path), a GradSdfVolume pays one concat per call
+    if isinstance(vol, PackedVolume):
+        payload = vol.payload.reshape(-1, 8)
+    else:
+        payload = pack_tracking_payload(vol)
 
     def gather_records(pose):
         """The hot gather: per-pixel nearest-voxel records at `pose`.

@@ -167,3 +167,86 @@ def test_culled_cull_ratio_is_real():
         jnp.eye(4, dtype=jnp.float32), jnp.int32(0),
         truncation=T, zmin=0.1, zmax=5.0, row_capacity=int(ZY * 0.6))
     assert not bool(ov)
+
+
+def _assert_close_vol(got, ref, atol=1e-6):
+    """Packed-kernel equality contract: vis (integer) exact; float fields to
+    ~ULP — the packed program's [CAP,X,8] row slices let LLVM contract the
+    grad accumulate into an FMA the SoA program doesn't emit (observed max
+    drift 5e-7 over 6 frames; a cross-program bit guarantee is not
+    something XLA offers)."""
+    np.testing.assert_allclose(
+        np.asarray(got.dist), np.asarray(ref.dist), rtol=0, atol=atol)
+    np.testing.assert_allclose(
+        np.asarray(got.grad), np.asarray(ref.grad), rtol=0, atol=atol)
+    np.testing.assert_allclose(
+        np.asarray(got.weight), np.asarray(ref.weight), rtol=0, atol=atol)
+    np.testing.assert_allclose(
+        np.asarray(got.color), np.asarray(ref.color), rtol=0, atol=atol)
+    np.testing.assert_array_equal(np.asarray(got.vis), np.asarray(ref.vis))
+
+
+@pytest.mark.parametrize("cap_frac", [1.0, 0.6])
+def test_packed_matches_exact(cap_frac):
+    """fuse_frame_culled_packed on PackedVolume state == fuse_frame to ~ULP
+    (same poses/overflow contract as test_culled_matches_exact), and the
+    PackedVolume round-trip is lossless."""
+    from psgradientsdf_tpu.core.volume import (
+        PackedVolume, fuse_frame_culled_packed,
+    )
+
+    sc = wavy_scene(dim=32, h=0.04, H=48, W=64, f=50.0)
+    geom, T = sc["geom"], sc["truncation"]
+    fr = sc["frames"][0]
+    ZY = geom.dims[2] * geom.dims[1]
+    cap = int(ZY * cap_frac)
+    kw = dict(truncation=T, zmin=0.1, zmax=5.0)
+
+    vol_e = make_volume(geom, T, frame_cap=64)
+    pvol = PackedVolume.from_volume(vol_e)
+    _assert_equal_vol(pvol.to_volume(), vol_e)   # lossless round trip
+    any_overflow = False
+    for fi, pose in enumerate(_poses()):
+        pj = jnp.asarray(pose)
+        vol_e = fuse_frame(
+            vol_e, geom, fr["color"], fr["depth"], fr["normals"],
+            fr["n_sq_inv"], sc["K"], pj, jnp.int32(fi + 30), **kw)
+        pvol, ov = fuse_frame_culled_packed(
+            pvol, geom, fr["color"], fr["depth"], fr["normals"],
+            fr["n_sq_inv"], sc["K"], pj, jnp.int32(fi + 30), **kw,
+            row_capacity=cap)
+        any_overflow = any_overflow or bool(ov)
+        if not bool(ov):
+            _assert_close_vol(pvol.to_volume(), vol_e)
+        else:
+            pvol = PackedVolume.from_volume(vol_e)
+    if cap_frac == 1.0:
+        assert not any_overflow
+
+
+def test_packed_tracking_matches_unpacked():
+    """track_frame(PackedVolume) == track_frame(GradSdfVolume) exactly —
+    the packed payload's slots 0,1:4,4 feed the same gather."""
+    from psgradientsdf_tpu.core.volume import PackedVolume
+    from psgradientsdf_tpu.tracking.tracker import track_frame
+    from psgradientsdf_tpu.utils import se3
+
+    sc = wavy_scene(dim=32, h=0.04, H=48, W=64, f=50.0)
+    geom, T = sc["geom"], sc["truncation"]
+    fr = sc["frames"][0]
+    kw = dict(truncation=T, zmin=0.1, zmax=5.0)
+    vol = fuse_frame(
+        make_volume(geom, T, frame_cap=32), geom, fr["color"], fr["depth"],
+        fr["normals"], fr["n_sq_inv"], sc["K"],
+        jnp.eye(4, dtype=jnp.float32), jnp.int32(0), **kw)
+    seed = jnp.asarray(np.asarray(se3.se3_exp(jnp.asarray(
+        np.array([0.01, -0.008, 0.012, 0.004, -0.003, 0.005], np.float32)))))
+    tkw = dict(**kw, num_iterations=8, conv_threshold_sq=0.0, damping=1.0,
+               early_exit=False, regather_every=4)
+    r_soa = track_frame(vol, geom, fr["depth"], sc["K"], seed, **tkw)
+    r_pkd = track_frame(PackedVolume.from_volume(vol), geom, fr["depth"],
+                        sc["K"], seed, **tkw)
+    np.testing.assert_array_equal(np.asarray(r_soa.pose), np.asarray(r_pkd.pose))
+    assert int(r_soa.iterations) == int(r_pkd.iterations)
+    np.testing.assert_array_equal(
+        np.asarray(r_soa.energy), np.asarray(r_pkd.energy))
