@@ -181,7 +181,12 @@ def run_tpu() -> dict:
     # execution is distinct from every warmed one.
     CHUNK = 10
 
-    @jax.jit
+    # donate the volume state: without donation every chunk dispatch
+    # allocates a fresh full-volume output (~600 MB at 256^3 — 20 chunks
+    # exceed the 16 GB chip and serialize on allocator stalls, the actual
+    # cause of round-2's "22 ns/idx at 256^3" misattribution); with it the
+    # update runs in place and dispatches pipeline freely at every grid size
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step_chunk(vol, pose, iters, fid0, off_m, ovf):
         # one executable per CHUNK frames (the chunked stream-executor
         # dispatch granularity): per frame, a frozen-correspondence GN
@@ -211,8 +216,10 @@ def run_tpu() -> dict:
         return vol, iters, ovf
 
     off_warm = jnp.asarray(off_np @ off_np)       # distinct warmup inputs
-    volw, _, ovw = run_frames(vol, off_warm)      # compile + warm the chain
-    _ = float(jnp.sum(volw.dist))                 # real completion fence
+    # step_chunk donates vol, so each run_frames consumes its input volume;
+    # chain the evolving volume through warmup and every timed rep
+    vol, _, ovw = run_frames(vol, off_warm)       # compile + warm the chain
+    _ = float(jnp.sum(vol.dist))                  # real completion fence
     assert not bool(ovw), "fusion cull capacity overflow in warmup"
     # best of 3 measured intervals: tunnel RPC/queue noise moved single-shot
     # numbers by up to 20% run to run.  Each rep's inputs are distinct
