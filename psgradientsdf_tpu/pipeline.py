@@ -112,7 +112,20 @@ class ReconstructionPipeline:
                 raise ValueError(
                     f"grid Z={cfg.tpu.grid_dim[2]} not divisible by mesh "
                     f"z={cfg.tpu.mesh_z}")
-            self.mesh = make_mesh(cfg.tpu.mesh_z, cfg.tpu.mesh_frames)
+            if jax.process_count() > 1:
+                # multi-host run (jax.distributed initialized before the
+                # pipeline, e.g. via psgradientsdf_tpu.parallel.distributed
+                # — SURVEY §5.8): the mesh must span the GLOBAL device
+                # list so Z-slabs land one band per host and collectives
+                # cross DCN; tested process-spanning in test_distributed.py
+                from psgradientsdf_tpu.parallel.distributed import (
+                    make_global_mesh,
+                )
+
+                self.mesh = make_global_mesh(
+                    cfg.tpu.mesh_z, cfg.tpu.mesh_frames)
+            else:
+                self.mesh = make_mesh(cfg.tpu.mesh_z, cfg.tpu.mesh_frames)
         base = loader or make_loader(cfg.tracking.datatype, cfg.tracking.input)
         # decode-ahead workers hide PNG decode behind device compute; raw mode
         # ships uint8/uint16 over the wire (3.7x less host->device transfer,
