@@ -98,7 +98,8 @@ def run_tpu() -> dict:
 
     from psgradientsdf_tpu.core.grid import GridGeometry
     from psgradientsdf_tpu.core.volume import (
-        count_active_rows, fuse_frame, fuse_frame_culled, make_volume,
+        PackedVolume, count_active_rows, fuse_frame,
+        fuse_frame_culled_packed, make_volume,
     )
     from psgradientsdf_tpu.tracking.tracker import track_frame
     from psgradientsdf_tpu.utils import se3
@@ -147,10 +148,13 @@ def run_tpu() -> dict:
     # build the map from frame 0 (also pays compile + first-D2H tax)
     vol = fuse_frame(vol, geom, color, depth, normals, nsq, K, eye, jnp.int32(0), **fuse_kw)
     # row-culled fusion capacity: size from the level-1 cull of this scene
-    # (+20% pose-drift margin, multiple of 512); exactness is guaranteed by
-    # the overflow flag, asserted after every timed run
+    # (+5% pose-drift margin, multiple of 512 — the gather index count is
+    # CAP*X whether rows are real or padding, so slack is pure cost);
+    # exactness is guaranteed by the overflow flag, asserted after every
+    # timed run (the scenario's pose orbit moves the active set by well
+    # under this margin)
     n_act = int(count_active_rows(geom, depth, K, eye, **fuse_kw))
-    CAP = min(DIM * DIM, -(-int(n_act * 1.2) // 512) * 512)
+    CAP = min(DIM * DIM, -(-int(n_act * 21 // 20) // 512) * 512)
     log(f"[bench] fusion cull: {n_act}/{DIM*DIM} active rows -> capacity {CAP} "
         f"({CAP*DIM/1e6:.2f}M gather idx vs {DIM**3/1e6:.2f}M full)")
     res = track_frame(vol, geom, depth, K, off,
@@ -168,77 +172,131 @@ def run_tpu() -> dict:
     # 4096^3 matmuls "completes" block_until_ready in 57us, but takes the
     # expected 8.6ms when fetched).
 
-    # steady-state: chained async dispatch of ONE static-control-flow
-    # executable per frame (the production executor pattern —
-    # tracking/stream.py): fixed-trip masked GN solve seeded at
-    # offset @ previous pose (exactly the C++ baseline's inter-frame motion
-    # model), then fusion at the result.  No while/cond in the program and
-    # no host sync inside the loop, so the device works through the queue
-    # back-to-back; ONE fence at the end.
-    #
-    # NOTE the axon runtime memoizes executions with identical input
-    # buffers — the warmup chain uses a DIFFERENT offset so every timed
-    # execution is distinct from every warmed one.
+    # steady-state: the whole frame sequence runs INSIDE one jitted
+    # program (nested fori: chunks x frames), per frame a fixed-trip
+    # frozen-correspondence GN round seeded at offset @ previous pose
+    # (the C++ baseline's inter-frame motion model) then ROW-CULLED fusion
+    # at the tracked pose on PackedVolume state, and the program outputs
+    # ONLY scalars (sums + iteration/overflow counters).  Rationale,
+    # measured at 256^3 (bench/wall_probe.py): when the volume state is a
+    # program OUTPUT, XLA pins the loop carry to boundary layouts and the
+    # identical body runs 105-115 ms/frame (SoA) / 74 ms (packed) instead
+    # of 35 ms — per-frame padded layout copies, the true cause of
+    # round-2's "22 ns/idx at 256^3" misattribution.  Scalar-only outputs
+    # keep the carry in XLA's preferred layouts; the chained-fetch
+    # marginal between two trip counts cancels the RPC latency and any
+    # remaining per-call overhead.
     CHUNK = 10
+    N_TIMED = FRAMES_TPU // CHUNK
+    N1, N2 = 2, 2 + N_TIMED
 
-    # donate the volume state: without donation every chunk dispatch
-    # allocates a fresh full-volume output (~600 MB at 256^3 — 20 chunks
-    # exceed the 16 GB chip and serialize on allocator stalls, the actual
-    # cause of round-2's "22 ns/idx at 256^3" misattribution); with it the
-    # update runs in place and dispatches pipeline freely at every grid size
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step_chunk(vol, pose, iters, fid0, off_m, ovf):
-        # one executable per CHUNK frames (the chunked stream-executor
-        # dispatch granularity): per frame, a frozen-correspondence GN
-        # round (the hot voxel gather runs once; validated to converge to
-        # the reference pose — tests/test_tracker.py::test_tracker_regather_*)
-        # then ROW-CULLED fusion at the tracked pose (exact-superset cull,
-        # core/volume.fuse_frame_culled; overflow OR-ed into the carry and
-        # asserted false after the run).
-        def body(k, carry):
-            vol, pose, iters, ovf = carry
+    pvol0 = PackedVolume.from_volume(vol)
+    # free the SoA copy: at 512^3 the two volume representations together
+    # (2 x 5.4 GB + working buffers) would not fit the 16 GB chip; every
+    # consumer below (tracker included) reads the packed state directly
+    del vol
+    _ = float(jnp.sum(pvol0.payload))
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_chunks(pvol, off_m, s, *, n):
+        def frame(gk, carry):
+            pvol, pose, iters, ovf = carry
             seed = off_m @ pose
-            res = track_frame(vol, geom, depth, K, seed, **track_kw)
-            vol, ov = fuse_frame_culled(
-                vol, geom, color, depth, normals, nsq, K, res.pose,
-                jnp.int32(1) + (fid0 + k) % 60, **fuse_kw, row_capacity=CAP
+            res = track_frame(pvol, geom, depth, K, seed, **track_kw)
+            pvol, ov = fuse_frame_culled_packed(
+                pvol, geom, color, depth, normals, nsq, K, res.pose,
+                jnp.int32(1) + (gk + s) % 60, **fuse_kw, row_capacity=CAP
             )
-            return vol, res.pose, iters + res.iterations, ovf | ov
-        return jax.lax.fori_loop(0, CHUNK, body, (vol, pose, iters, ovf))
+            return pvol, res.pose, iters + res.iterations, ovf | ov
 
-    def run_frames(vol, off_m):
-        pose = eye
-        iters = jnp.int32(0)
-        ovf = jnp.bool_(False)
-        for c in range(FRAMES_TPU // CHUNK):
-            vol, pose, iters, ovf = step_chunk(vol, pose, iters,
-                                               jnp.int32(c * CHUNK), off_m, ovf)
-        return vol, iters, ovf
+        def chunk(c, carry):
+            return jax.lax.fori_loop(
+                0, CHUNK, lambda k, cr: frame(c * CHUNK + k, cr), carry)
 
-    off_warm = jnp.asarray(off_np @ off_np)       # distinct warmup inputs
-    # step_chunk donates vol, so each run_frames consumes its input volume;
-    # chain the evolving volume through warmup and every timed rep
-    vol, _, ovw = run_frames(vol, off_warm)       # compile + warm the chain
-    _ = float(jnp.sum(vol.dist))                  # real completion fence
-    assert not bool(ovw), "fusion cull capacity overflow in warmup"
-    # best of 3 measured intervals: tunnel RPC/queue noise moved single-shot
-    # numbers by up to 20% run to run.  Each rep's inputs are distinct
-    # (the fused volume evolves and carries into the next rep) so the
-    # runtime's execution memoization can't serve a cached result.
+        pvol, pose, iters, ovf = jax.lax.fori_loop(
+            0, n, chunk, (pvol, eye, jnp.int32(0), jnp.bool_(False)))
+        # scalar fence, data-dependent on the full state evolution
+        return (jnp.sum(pvol.payload) + jnp.sum(pose), iters,
+                ovf.astype(jnp.int32))
+
+    # warm/compile both trip counts (distinct seeds: the runtime memoizes
+    # same-input executions)
+    seed_i = [0]
+
+    def seed():
+        seed_i[0] += 1
+        return jnp.int32(seed_i[0])
+
+    f_n1 = functools.partial(run_chunks, n=N1)
+    f_n2 = functools.partial(run_chunks, n=N2)
+    r1 = f_n1(pvol0, off, seed())
+    _ = float(r1[0])
+    r2 = f_n2(pvol0, off, seed())
+    _ = float(r2[0])
+    assert int(r2[2]) == 0, "fusion cull capacity overflow in warmup"
     dt = 1e18
+    its = None
     for _rep in range(3):
         t0 = time.perf_counter()
-        vol, its, ovf = run_frames(vol, off)
-        _ = float(jnp.sum(vol.dist))              # real completion fence
-        dt = min(dt, time.perf_counter() - t0)
-    assert not bool(ovf), "fusion cull capacity overflow in timed run"
+        ra = f_n1(pvol0, off, seed())
+        _ = float(ra[0])
+        t1 = time.perf_counter()
+        rb = f_n2(pvol0, off, seed())
+        _ = float(rb[0])
+        t2 = time.perf_counter()
+        dt = min(dt, (t2 - t1) - (t1 - t0))
+        its = rb[1]
+        assert int(rb[2]) == 0, "fusion cull capacity overflow in timed run"
     fps = FRAMES_TPU / dt
     iters = int(its)
+
+    # auditable fusion floor (round-2 VERDICT #7): fusion-only chain,
+    # same marginal protocol -> ns per gather index, bytes moved/s, and
+    # the fraction of v5e HBM peak, recorded in BENCH_details*.json so the
+    # "at XLA's gather floor" claim can be checked from the artifacts.
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def fuse_chain(pvol, s, *, n):
+        def body(k, carry):
+            pvol, ovf = carry
+            pvol, ov = fuse_frame_culled_packed(
+                pvol, geom, color, depth, normals, nsq, K, eye,
+                jnp.int32(1) + (k + s) % 60, **fuse_kw, row_capacity=CAP)
+            return pvol, ovf | ov
+        pvol, ovf = jax.lax.fori_loop(0, n, body, (pvol, jnp.bool_(False)))
+        return jnp.sum(pvol.payload) + jnp.float32(ovf)
+
+    g1 = functools.partial(fuse_chain, n=3)
+    g2 = functools.partial(fuse_chain, n=9)
+    _ = float(g1(pvol0, seed()))
+    _ = float(g2(pvol0, seed()))
+    fuse_s = 1e18
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        _ = float(g1(pvol0, seed()))
+        t1 = time.perf_counter()
+        _ = float(g2(pvol0, seed()))
+        t2 = time.perf_counter()
+        fuse_s = min(fuse_s, ((t2 - t1) - (t1 - t0)) / 6)
+    n_idx = CAP * DIM
+    fuse_ns_per_idx = fuse_s * 1e9 / n_idx
+    # bytes/frame: pixel-payload rows (32 B/idx) + state rows gathered and
+    # scattered (8 f32 + 1 u32 vis word per voxel, both directions)
+    bytes_frame = n_idx * 32 + 2 * n_idx * 36
+    hbm_frac = (bytes_frame / fuse_s) / 819e9     # v5e HBM peak ~819 GB/s
+    log(f"[bench] fusion floor: {fuse_s*1e3:.2f} ms/frame, "
+        f"{fuse_ns_per_idx:.2f} ns/idx over {n_idx/1e6:.2f}M idx, "
+        f"{bytes_frame/fuse_s/1e9:.1f} GB/s = {hbm_frac*100:.1f}% HBM peak")
+    if DIM == 128:
+        # regression guard for the emitter regime: the 128^3 fusion gather
+        # must stay in XLA's fast mode (~3.4-4 ns/idx; the slow HBM row
+        # gather is 10-13) — the exact failure mode 256^3 exposed in r2
+        assert fuse_ns_per_idx <= 4.5, (
+            f"fusion gather left the fast emitter: {fuse_ns_per_idx:.2f} ns/idx")
 
     # fixed-budget GN iteration rate (no early exit) for iters/s; every rep
     # gets a distinct seed pose (execution memoization — see above)
     def track50(seed):
-        return track_frame(vol, geom, depth, K, seed,
+        return track_frame(pvol0, geom, depth, K, seed,
                            truncation=T, zmin=0.5, zmax=3.5, num_iterations=50,
                            conv_threshold_sq=0.0, damping=1.0)
 
@@ -258,7 +316,12 @@ def run_tpu() -> dict:
     iters_per_s = REPS * 50 / best
 
     return dict(fps=fps, per_frame_s=dt / FRAMES_TPU, gn_iters=iters,
-                gn_iters_per_s=iters_per_s, backend=jax.default_backend())
+                gn_iters_per_s=iters_per_s, backend=jax.default_backend(),
+                fuse_ms_per_frame=round(fuse_s * 1e3, 3),
+                fuse_gather_idx=n_idx,
+                fuse_gather_ns_per_idx=round(fuse_ns_per_idx, 3),
+                fuse_bytes_per_s=round(bytes_frame / fuse_s, 0),
+                fuse_hbm_peak_frac=round(hbm_frac, 4))
 
 
 def main() -> int:
@@ -290,6 +353,11 @@ def main() -> int:
         "tpu_gn_iters_per_s": tpu["gn_iters_per_s"],
         "gn_iters_speedup": tpu["gn_iters_per_s"] / cpp["gn_iters_per_s"],
         "backend": tpu["backend"],
+        "fuse_ms_per_frame": tpu.get("fuse_ms_per_frame"),
+        "fuse_gather_idx": tpu.get("fuse_gather_idx"),
+        "fuse_gather_ns_per_idx": tpu.get("fuse_gather_ns_per_idx"),
+        "fuse_bytes_per_s": tpu.get("fuse_bytes_per_s"),
+        "fuse_hbm_peak_frac": tpu.get("fuse_hbm_peak_frac"),
         "scenario": f"{W}x{H} frames, {DIM}^3 grid, 50-iter GN budget",
         "baseline_kind": "plain-C++ -O3 single-thread reimplementation of the "
                          "reference hot loops (reference repo unbuildable: "

@@ -125,27 +125,69 @@ def main():
         results[name] = ts
         log(f"[probe4] {name}: " + " ".join(f"{t*1e3:.0f}" for t in ts) + " ms")
 
-    n1, n3 = nested(1), nested(3)
-    _ = float(n1(vol, eye, seed()))       # compile
-    _ = float(n3(vol, eye, seed()))
-    walls("nested_n1_ms", n1, [(vol, eye, seed()) for _ in range(5)],
-          lambda r: float(r))
-    walls("nested_n3_ms", n3, [(vol, eye, seed()) for _ in range(3)],
-          lambda r: float(r))
+    only_packed = bool(os.environ.get("PSGSDF_PROBE_PACKED_ONLY"))
+    if not only_packed:
+        n1, n3 = nested(1), nested(3)
+        _ = float(n1(vol, eye, seed()))       # compile
+        _ = float(n3(vol, eye, seed()))
+        walls("nested_n1_ms", n1, [(vol, eye, seed()) for _ in range(5)],
+              lambda r: float(r))
+        walls("nested_n3_ms", n3, [(vol, eye, seed()) for _ in range(3)],
+              lambda r: float(r))
 
-    v2, p2, _ = flat10(vol, eye, seed())  # compile + make evolving buffers
-    _ = float(jnp.sum(p2))
-    seq = []
-    vv, pp = v2, p2
-    for _ in range(5):
-        seq.append((vv, pp))
-        vv, pp, _ = flat10(vv, pp, seed())
-    _ = float(jnp.sum(pp))                # materialize the chain
-    walls("flat10_evolving_ms", flat10,
-          [(v, p, seed()) for (v, p) in seq],
-          lambda r: float(jnp.sum(r[1])))
-    walls("flat10_samebuf_ms", flat10,
-          [(vol, eye, seed()) for _ in range(5)],
+        v2, p2, _ = flat10(vol, eye, seed())  # compile + evolving buffers
+        _ = float(jnp.sum(p2))
+        seq = []
+        vv, pp = v2, p2
+        for _ in range(5):
+            seq.append((vv, pp))
+            vv, pp, _ = flat10(vv, pp, seed())
+        _ = float(jnp.sum(pp))                # materialize the chain
+        walls("flat10_evolving_ms", flat10,
+              [(v, p, seed()) for (v, p) in seq],
+              lambda r: float(jnp.sum(r[1])))
+        walls("flat10_samebuf_ms", flat10,
+              [(vol, eye, seed()) for _ in range(5)],
+              lambda r: float(jnp.sum(r[1])))
+        # free the SoA chains before the packed variant (a 16 GB chip
+        # cannot hold 10+ live full-volume states)
+        del seq, vv, pp, v2, p2
+        import gc
+        gc.collect()
+
+    # packed-state variant: the [Z,Y,X*8] payload has no small trailing
+    # dim, so crossing the jit boundary should NOT pay the 42x-padded
+    # layout copies that the SoA grad/color [Z,Y,X,3] outputs do
+    def frame_body_packed(k, carry, s):
+        pvol, pose, ovf = carry
+        sp = off @ pose
+        res = track_frame(pvol, geom, depth, K, sp, **track_kw)
+        pvol, ov = V.fuse_frame_culled_packed(
+            pvol, geom, color, depth, normals, nsq, K, res.pose,
+            jnp.int32(1) + (k + s) % 60, **fuse_kw, row_capacity=CAP)
+        return pvol, res.pose, ovf | ov
+
+    @jax.jit
+    def flat10_packed(pvol, pose, s):
+        return jax.lax.fori_loop(
+            0, 10, lambda k, cr: frame_body_packed(k, cr, s),
+            (pvol, pose, jnp.bool_(False)))
+
+    pvol = V.PackedVolume.from_volume(vol)
+    del vol
+    import gc
+    gc.collect()
+    pv2, pp2, _ = flat10_packed(pvol, eye, seed())   # compile
+    _ = float(jnp.sum(pp2))
+    # time calls on an evolving 3-deep chain, recycling buffers (the chip
+    # holds at most 4 live packed states)
+    chain = [(pvol, eye), (pv2, pp2)]
+    vv, pp = pv2, pp2
+    vv, pp, _ = flat10_packed(vv, pp, seed())
+    chain.append((vv, pp))
+    _ = float(jnp.sum(pp))
+    walls("flat10_packed_ms", flat10_packed,
+          [(v, p, seed()) for (v, p) in chain] + [(pvol, eye, seed())],
           lambda r: float(jnp.sum(r[1])))
 
     print(json.dumps({"dim": DIM, "cap": CAP, "walls": {

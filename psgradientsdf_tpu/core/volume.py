@@ -465,24 +465,30 @@ def _fuse_culled_slab(
 class PackedVolume(NamedTuple):
     """Gather-native volume state for the streaming (track+fuse) hot path.
 
-    The tracker's per-pixel gather wants one row-gatherable [V,8] table of
-    (dist, grad, weight) — with the SoA GradSdfVolume layout that table had
-    to be re-concatenated from the volume arrays on EVERY track_frame call
-    (pack_tracking_payload): ~536 MB of pure copy traffic per frame at
-    256^3, the dominant per-frame cost of the round-2 chunk program.  Here
-    the packed table IS the float state — fusion gathers/updates/scatters
-    its rows directly (fuse_frame_culled_packed) and tracking gathers from
-    it with zero repacking.
+    Two reasons this layout exists, both measured at 256^3:
+
+    1. The tracker's per-pixel gather wants one row-gatherable [V,8] table
+       of (dist, grad, weight) — with the SoA GradSdfVolume layout that
+       table had to be re-concatenated from the volume arrays on every
+       track_frame call (pack_tracking_payload, ~1.5 ms/frame at 256^3).
+    2. When the volume state is a program OUTPUT, XLA pins the loop carry
+       to boundary layouts and the identical track+fuse body runs
+       105-115 ms/frame at 256^3 instead of 35 (bench/wall_probe.py
+       measured 36 ms/frame with scalar-only outputs).  The streaming
+       consumers therefore keep the state INSIDE one program (nested
+       chunk loops, scalar outputs — see bench.py's run_chunks); a
+       boundary-shaped [Z,Y,X*8] variant was tried and rejected: it fixes
+       the boundary copies but demotes the in-kernel gather emitters
+       (8.3 ns/idx vs ~5, measured).
 
         payload [Z,Y,X,8] f32:  dist, grad(3), weight, color(3)
         vis     [W,Z,Y,X] u32:  bit-packed per-frame visibility
 
     Slots 0,1:4,4 line up with pack_tracking_payload's layout, so
     sdf_records_packed / track_frame consume `payload.reshape(-1,8)`
-    unchanged; slots 5:8 carry the running-mean color (the streaming state
-    that previously lived in its own array).  Convert at phase boundaries
-    (scan start / refinement handoff) with from_volume / to_volume — one
-    copy per PHASE instead of one per frame."""
+    unchanged; slots 5:8 carry the running-mean color.  Convert at phase
+    boundaries (scan start / refinement handoff) with from_volume /
+    to_volume."""
 
     payload: jax.Array   # [Z,Y,X,8] f32
     vis: jax.Array       # [W,Z,Y,X] uint32
@@ -549,7 +555,7 @@ def fuse_frame_culled_packed(
     slot_ok = rows_idx < ZY
     safe_rows = jnp.minimum(rows_idx, ZY - 1)
 
-    state3 = pvol.payload.reshape(ZY, X, 8)
+    state3 = pvol.payload.reshape(ZY, X, 8)   # internal view; boundary
     rows = jnp.take(state3, safe_rows, axis=0)            # [CAP, X, 8]
     word = frame_idx // 32
     bit = (jnp.uint32(1) << jnp.uint32(frame_idx % 32))

