@@ -98,7 +98,7 @@ def run_tpu() -> dict:
 
     from psgradientsdf_tpu.core.grid import GridGeometry
     from psgradientsdf_tpu.core.volume import (
-        PackedVolume, count_active_rows, fuse_frame,
+        PackedVolume, count_active_rows, fuse_frame_culled,
         fuse_frame_culled_packed, make_volume,
     )
     from psgradientsdf_tpu.tracking.tracker import track_frame
@@ -145,8 +145,6 @@ def run_tpu() -> dict:
         regather_every=4,
     )
 
-    # build the map from frame 0 (also pays compile + first-D2H tax)
-    vol = fuse_frame(vol, geom, color, depth, normals, nsq, K, eye, jnp.int32(0), **fuse_kw)
     # row-culled fusion capacity: size from the level-1 cull of this scene
     # (+5% pose-drift margin, multiple of 512 — the gather index count is
     # CAP*X whether rows are real or padding, so slack is pure cost);
@@ -157,11 +155,33 @@ def run_tpu() -> dict:
     CAP = min(DIM * DIM, -(-int(n_act * 21 // 20) // 512) * 512)
     log(f"[bench] fusion cull: {n_act}/{DIM*DIM} active rows -> capacity {CAP} "
         f"({CAP*DIM/1e6:.2f}M gather idx vs {DIM**3/1e6:.2f}M full)")
-    res = track_frame(vol, geom, depth, K, off,
+    # build the map from frame 0 with the CULLED kernel (bit-identical to
+    # full-grid fuse_frame; the un-culled kernel's all-voxel gather output
+    # alone is 4.3 GB at 512^3) — also pays compile + first-D2H tax
+    vol, ov0 = fuse_frame_culled(
+        vol, geom, color, depth, normals, nsq, K, eye, jnp.int32(0),
+        **fuse_kw, row_capacity=CAP)
+    assert not bool(ov0), "map-build overflow"
+    # state layout for the timed chain: SoA + in-program tracking repack is
+    # the fastest in-program carry at 128^3/256^3 (wall_probe NESTED data),
+    # but at 512^3 the standing SoA state (5.9 GB) plus the 4.3 GB repack
+    # does not fit the 16 GB chip -> carry PackedVolume there (equal speed
+    # at 256^3, no repack)
+    USE_PACKED = DIM >= 512
+    if USE_PACKED:
+        state0 = PackedVolume.from_volume(vol)
+        del vol
+        fuse_culled = fuse_frame_culled_packed
+        state_sum = lambda st: jnp.sum(st.payload)
+    else:
+        state0 = vol
+        fuse_culled = fuse_frame_culled
+        state_sum = lambda st: jnp.sum(st.dist)
+    res = track_frame(state0, geom, depth, K, off,
                       **{**track_kw, "early_exit": True, "num_iterations": 50,
                          "regather_every": 1})
     _ = np.asarray(res.pose)     # warm the D2H path
-    _ = float(jnp.sum(vol.dist))
+    _ = float(state_sum(state0))
     log(f"[bench] warmup done; tracker iters={int(res.iterations)}")
 
     # NOTE on timing: on the axon remote runtime jax.block_until_ready()
@@ -176,7 +196,7 @@ def run_tpu() -> dict:
     # program (nested fori: chunks x frames), per frame a fixed-trip
     # frozen-correspondence GN round seeded at offset @ previous pose
     # (the C++ baseline's inter-frame motion model) then ROW-CULLED fusion
-    # at the tracked pose on PackedVolume state, and the program outputs
+    # at the tracked pose, and the program outputs
     # ONLY scalars (sums + iteration/overflow counters).  Rationale,
     # measured at 256^3 (bench/wall_probe.py): when the volume state is a
     # program OUTPUT, XLA pins the loop carry to boundary layouts and the
@@ -190,33 +210,31 @@ def run_tpu() -> dict:
     N_TIMED = FRAMES_TPU // CHUNK
     N1, N2 = 2, 2 + N_TIMED
 
-    pvol0 = PackedVolume.from_volume(vol)
-    # free the SoA copy: at 512^3 the two volume representations together
-    # (2 x 5.4 GB + working buffers) would not fit the 16 GB chip; every
-    # consumer below (tracker included) reads the packed state directly
-    del vol
-    _ = float(jnp.sum(pvol0.payload))
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def run_chunks(pvol, off_m, s, *, n):
+    def run_chunks(st, off_m, s, *, n):
+        # SoA state carried through nested loops: measured best-of-layout
+        # at 128^3 (4.6 ms/frame vs 8.9 packed) and equal at 256^3
+        # (bench/wall_probe.py PSGSDF_PROBE_NESTED); the tracker's [V,8]
+        # payload repack happens in-program (~1.5 ms at 256^3)
         def frame(gk, carry):
-            pvol, pose, iters, ovf = carry
+            st, pose, iters, ovf = carry
             seed = off_m @ pose
-            res = track_frame(pvol, geom, depth, K, seed, **track_kw)
-            pvol, ov = fuse_frame_culled_packed(
-                pvol, geom, color, depth, normals, nsq, K, res.pose,
+            res = track_frame(st, geom, depth, K, seed, **track_kw)
+            st, ov = fuse_culled(
+                st, geom, color, depth, normals, nsq, K, res.pose,
                 jnp.int32(1) + (gk + s) % 60, **fuse_kw, row_capacity=CAP
             )
-            return pvol, res.pose, iters + res.iterations, ovf | ov
+            return st, res.pose, iters + res.iterations, ovf | ov
 
         def chunk(c, carry):
             return jax.lax.fori_loop(
                 0, CHUNK, lambda k, cr: frame(c * CHUNK + k, cr), carry)
 
-        pvol, pose, iters, ovf = jax.lax.fori_loop(
-            0, n, chunk, (pvol, eye, jnp.int32(0), jnp.bool_(False)))
+        st, pose, iters, ovf = jax.lax.fori_loop(
+            0, n, chunk, (st, eye, jnp.int32(0), jnp.bool_(False)))
         # scalar fence, data-dependent on the full state evolution
-        return (jnp.sum(pvol.payload) + jnp.sum(pose), iters,
+        return (state_sum(st) + jnp.sum(pose), iters,
                 ovf.astype(jnp.int32))
 
     # warm/compile both trip counts (distinct seeds: the runtime memoizes
@@ -229,19 +247,19 @@ def run_tpu() -> dict:
 
     f_n1 = functools.partial(run_chunks, n=N1)
     f_n2 = functools.partial(run_chunks, n=N2)
-    r1 = f_n1(pvol0, off, seed())
+    r1 = f_n1(state0, off, seed())
     _ = float(r1[0])
-    r2 = f_n2(pvol0, off, seed())
+    r2 = f_n2(state0, off, seed())
     _ = float(r2[0])
     assert int(r2[2]) == 0, "fusion cull capacity overflow in warmup"
     dt = 1e18
     its = None
     for _rep in range(3):
         t0 = time.perf_counter()
-        ra = f_n1(pvol0, off, seed())
+        ra = f_n1(state0, off, seed())
         _ = float(ra[0])
         t1 = time.perf_counter()
-        rb = f_n2(pvol0, off, seed())
+        rb = f_n2(state0, off, seed())
         _ = float(rb[0])
         t2 = time.perf_counter()
         dt = min(dt, (t2 - t1) - (t1 - t0))
@@ -255,26 +273,33 @@ def run_tpu() -> dict:
     # the fraction of v5e HBM peak, recorded in BENCH_details*.json so the
     # "at XLA's gather floor" claim can be checked from the artifacts.
     @functools.partial(jax.jit, static_argnames=("n",))
-    def fuse_chain(pvol, s, *, n):
+    def fuse_chain(st, s, *, n):
         def body(k, carry):
-            pvol, ovf = carry
-            pvol, ov = fuse_frame_culled_packed(
-                pvol, geom, color, depth, normals, nsq, K, eye,
+            st, ovf = carry
+            # sub-micron per-iteration pose jitter: with a FIXED pose the
+            # cull and the whole pixel gather are loop-invariant and XLA
+            # hoists them out of the chain (measured 0.81 "ns/idx" at
+            # 128^3 — an artifact, not a gather); the jitter is far below
+            # the cull's float-safety margins so the work is identical
+            tj = 1e-7 * (k + s).astype(jnp.float32)
+            pose_k = eye + jnp.zeros((4, 4), jnp.float32).at[0, 3].set(tj)
+            st, ov = fuse_culled(
+                st, geom, color, depth, normals, nsq, K, pose_k,
                 jnp.int32(1) + (k + s) % 60, **fuse_kw, row_capacity=CAP)
-            return pvol, ovf | ov
-        pvol, ovf = jax.lax.fori_loop(0, n, body, (pvol, jnp.bool_(False)))
-        return jnp.sum(pvol.payload) + jnp.float32(ovf)
+            return st, ovf | ov
+        st, ovf = jax.lax.fori_loop(0, n, body, (st, jnp.bool_(False)))
+        return state_sum(st) + jnp.float32(ovf)
 
     g1 = functools.partial(fuse_chain, n=3)
     g2 = functools.partial(fuse_chain, n=9)
-    _ = float(g1(pvol0, seed()))
-    _ = float(g2(pvol0, seed()))
+    _ = float(g1(state0, seed()))
+    _ = float(g2(state0, seed()))
     fuse_s = 1e18
     for _rep in range(3):
         t0 = time.perf_counter()
-        _ = float(g1(pvol0, seed()))
+        _ = float(g1(state0, seed()))
         t1 = time.perf_counter()
-        _ = float(g2(pvol0, seed()))
+        _ = float(g2(state0, seed()))
         t2 = time.perf_counter()
         fuse_s = min(fuse_s, ((t2 - t1) - (t1 - t0)) / 6)
     n_idx = CAP * DIM
@@ -287,18 +312,28 @@ def run_tpu() -> dict:
         f"{fuse_ns_per_idx:.2f} ns/idx over {n_idx/1e6:.2f}M idx, "
         f"{bytes_frame/fuse_s/1e9:.1f} GB/s = {hbm_frac*100:.1f}% HBM peak")
     if DIM == 128:
-        # regression guard for the emitter regime: the 128^3 fusion gather
-        # must stay in XLA's fast mode (~3.4-4 ns/idx; the slow HBM row
-        # gather is 10-13) — the exact failure mode 256^3 exposed in r2
-        assert fuse_ns_per_idx <= 4.5, (
-            f"fusion gather left the fast emitter: {fuse_ns_per_idx:.2f} ns/idx")
+        # regression guard for the emitter/layout regime: this metric is
+        # the WHOLE culled-fusion kernel (pixel gather + state row
+        # gather/scatter + update + cull) per pixel-gather index — the
+        # fast regime measures 5-7 ns/idx, the boundary-layout/slow-
+        # emitter pathologies 256^3 exposed in r2 measure >20.  Guard at
+        # the midpoint so a regime regression fails loudly without
+        # tripping on fixed-overhead noise at the small 128^3 index count.
+        assert fuse_ns_per_idx <= 12.0, (
+            f"fusion kernel left the fast regime: {fuse_ns_per_idx:.2f} ns/idx")
 
     # fixed-budget GN iteration rate (no early exit) for iters/s; every rep
     # gets a distinct seed pose (execution memoization — see above)
     def track50(seed):
-        return track_frame(pvol0, geom, depth, K, seed,
+        # fixed-trip (early_exit=False): the data-dependent while_loop
+        # demotes the body's payload gather from the fast emitter
+        # (BASELINE.md), which is a control-flow artifact — the forced-50-
+        # iteration rate metric wants the static-program gather, exactly
+        # what the production executor ships
+        return track_frame(state0, geom, depth, K, seed,
                            truncation=T, zmin=0.5, zmax=3.5, num_iterations=50,
-                           conv_threshold_sq=0.0, damping=1.0)
+                           conv_threshold_sq=0.0, damping=1.0,
+                           early_exit=False, regather_every=1)
 
     # warm with a seed OUTSIDE the timed power series (power 2 == off_warm
     # would let execution memoization serve one timed rep from cache)

@@ -1,0 +1,82 @@
+"""Basket-LED-recipe rehearsal at production shape (round-2 VERDICT #8).
+
+The basket_LED demo's real data (frames 400-550) is absent from this image,
+but its SHAPE isn't: this script runs the LED model with the shipped
+config_basket_LED.json settings (voxel 0.01, truncation 5, cauchy lam=0.2,
+reg_n=0.1, reg_l=5.0, damping 3.0, upsample=true) over a synthetic
+near-field 640x480 sequence at a 128^3 grid, to convergence, on the real
+chip — crossing the iteration-5 upsample to 256^3.  The measured trace is
+recorded in BASELINE.md and pinned by the TPU-gated golden
+tests/test_goldens.py::test_led_upsample_production_golden.
+
+Usage: python bench/led_rehearsal.py [outdir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main():
+    out_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/led_rehearsal"
+    data = os.path.join(out_root, "data") + "/"
+    out = os.path.join(out_root, "out") + "/"
+    os.makedirs(data, exist_ok=True)
+
+    from test_e2e_led_cli import make_led_dataset
+
+    t0 = time.perf_counter()
+    make_led_dataset(data, n_frames=12, H=480, W=640, f=576.0)
+    print(f"[led-rehearsal] dataset built in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    from psgradientsdf_tpu.config import parse_config
+    from psgradientsdf_tpu.pipeline import ReconstructionPipeline
+
+    raw = {
+        "input": data, "output": out, "pose filename": "pose.txt",
+        "datatype": "led", "first": 0, "last": 11,
+        # the shipped basket recipe's optimizer settings
+        # (/root/reference/config/config_basket_LED.json)
+        "voxel size": 0.01, "truncation factor": 5,
+        "zmin": 0.5, "zmax": 3.5, "sharpness threshold": 0.03,
+        "model type": "LED", "loss function": "cauchy",
+        "reg albedo": 0.0, "reg norm": 0.1, "reg laplacian": 5.0,
+        "max iter": 12, "damping": 3.0, "converge threshold": 5e-3,
+        "lambda": 0.2, "upsample": True,
+        "grid dim": 128,
+    }
+    cfg = parse_config(raw)
+    t1 = time.perf_counter()
+    pipe = ReconstructionPipeline(
+        cfg, compile_cache_dir="/tmp/psgsdf_xla_cache")
+    summary = pipe.run(refine=True)
+    wall = time.perf_counter() - t1
+    print(f"[led-rehearsal] pipeline wall {wall:.1f}s summary={summary}",
+          file=sys.stderr, flush=True)
+
+    totals, ups = [], []
+    for line in open(out + "metrics.jsonl"):
+        d = json.loads(line)
+        if d.get("event") == "iteration":
+            totals.append(float(d["total"]))
+        if d.get("event") == "upsample":
+            ups.append(d)
+    print(json.dumps({
+        "energy_trace": [round(t, 5) for t in totals],
+        "upsample": ups, "wall_s": round(wall, 1),
+        "converged": bool(summary.get("refine_converged")),
+        "keyframes": summary.get("keyframes"),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -125,6 +125,58 @@ def main():
         results[name] = ts
         log(f"[probe4] {name}: " + " ".join(f"{t*1e3:.0f}" for t in ts) + " ms")
 
+    if os.environ.get("PSGSDF_PROBE_NESTED"):
+        # nested-chunk programs with SCALAR-ONLY outputs (the bench.py
+        # run_chunks structure): SoA state vs PackedVolume state, absolute
+        # walls of a 2-chunk (20-frame) program — which carry should the
+        # bench chain use at this DIM?
+        def nested_scalar_soa(n):
+            @jax.jit
+            def run(vol, pose, s):
+                def chunk(c, carry):
+                    return jax.lax.fori_loop(
+                        0, 10, lambda k, cr: frame_body(c * 10 + k, cr, s),
+                        carry)
+                vol, pose, ovf = jax.lax.fori_loop(
+                    0, n, chunk, (vol, pose, jnp.bool_(False)))
+                return jnp.sum(vol.dist) + jnp.float32(ovf) + jnp.sum(pose)
+            return run
+
+        def nested_scalar_packed(n):
+            @jax.jit
+            def run(pvol, pose, s):
+                def chunk(c, carry):
+                    return jax.lax.fori_loop(
+                        0, 10,
+                        lambda k, cr: frame_body_packed(c * 10 + k, cr, s),
+                        carry)
+                pvol, pose, ovf = jax.lax.fori_loop(
+                    0, n, chunk, (pvol, pose, jnp.bool_(False)))
+                return (jnp.sum(pvol.payload) + jnp.float32(ovf)
+                        + jnp.sum(pose))
+            return run
+
+        def frame_body_packed(k, carry, s):
+            pvol, pose, ovf = carry
+            sp = off @ pose
+            res = track_frame(pvol, geom, depth, K, sp, **track_kw)
+            pvol, ov = V.fuse_frame_culled_packed(
+                pvol, geom, color, depth, normals, nsq, K, res.pose,
+                jnp.int32(1) + (k + s) % 60, **fuse_kw, row_capacity=CAP)
+            return pvol, res.pose, ovf | ov
+
+        pvol = V.PackedVolume.from_volume(vol)
+        for name, fn, state in (
+            ("nested_soa20_ms", nested_scalar_soa(2), vol),
+            ("nested_packed20_ms", nested_scalar_packed(2), pvol),
+        ):
+            _ = float(fn(state, eye, seed()))
+            walls(name, fn, [(state, eye, seed()) for _ in range(4)],
+                  lambda r: float(r))
+        print(json.dumps({"dim": DIM, "cap": CAP, "walls": {
+            k: [round(t * 1e3, 1) for t in v] for k, v in results.items()}}))
+        return 0
+
     only_packed = bool(os.environ.get("PSGSDF_PROBE_PACKED_ONLY"))
     if not only_packed:
         n1, n3 = nested(1), nested(3)

@@ -18,10 +18,9 @@ import pytest
 cv2 = pytest.importorskip("cv2")
 
 
-def make_led_dataset(root, n_frames=6, H=64, W=80):
+def make_led_dataset(root, n_frames=6, H=64, W=80, f=70.0):
     os.makedirs(os.path.join(root, "depth"), exist_ok=True)
     os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
-    f = 70.0
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
     with open(os.path.join(root, "intrinsics.txt"), "w") as fh:
         for row in K:
