@@ -632,7 +632,14 @@ class PhotometricRefiner:
                 )
                 rd, e = refresh()
                 dt = T.toc("albedo", self.albedo)
-                E, _, _, E_r = (float(v) for v in e)
+                # the reference refreshes each reg energy ONLY while its
+                # regularizer is active (PsOptimizer.cpp:311,338-339):
+                # with upsample the pre-iter-5 Laplacian term is a frozen
+                # constant in the total — refreshing it would wiggle the
+                # convergence metric and fire spurious divergence aborts
+                E = float(e[0])
+                if albedo_reg:
+                    E_r = float(e[3])
                 E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
                 self.metrics.log("block", iter=it, block="albedo", seconds=dt)
 
@@ -659,7 +666,11 @@ class PhotometricRefiner:
                 )
                 rd, e = refresh()
                 dt = T.toc("joint_dp", self.dist)
-                E, E_n, E_l, _ = (float(v) for v in e)
+                E = float(e[0])
+                if normal_reg:
+                    E_n = float(e[1])
+                if laplacian_reg:
+                    E_l = float(e[2])
                 E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
                 self.metrics.log("block", iter=it, block="joint_dp", seconds=dt)
             else:
@@ -674,7 +685,11 @@ class PhotometricRefiner:
                     )
                     rd, e = refresh()
                     dt = T.toc("distance", self.dist)
-                    E, E_n, E_l, _ = (float(v) for v in e)
+                    E = float(e[0])
+                    if normal_reg:
+                        E_n = float(e[1])
+                    if laplacian_reg:
+                        E_l = float(e[2])
                     E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
                     self.metrics.log("block", iter=it, block="distance", seconds=dt)
 

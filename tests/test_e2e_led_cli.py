@@ -18,7 +18,14 @@ import pytest
 cv2 = pytest.importorskip("cv2")
 
 
-def make_led_dataset(root, n_frames=6, H=64, W=80, f=70.0):
+def make_led_dataset(root, n_frames=6, H=64, W=80, f=70.0,
+                     depth_noise=0.0, pose_noise=0.0):
+    # depth_noise (meters): Gaussian sensor noise on the written depth maps;
+    # pose_noise (meters / radians): Gaussian error on the WRITTEN pose.txt
+    # (renders stay at the true poses — the file mimics an imperfect
+    # tracker).  The production-shape rehearsal needs imperfect geometry
+    # and misregistered fusion so the refinement has real work for >5
+    # iterations (the upsample crossing), like the real basket footage.
     os.makedirs(os.path.join(root, "depth"), exist_ok=True)
     os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
@@ -66,12 +73,26 @@ def make_led_dataset(root, n_frames=6, H=64, W=80, f=70.0):
         rgb = np.clip(albedo * light[None, None, :] * irr[..., None], 0, 1)
 
         stamp = f"{i + 1:03d}"
+        z_out = z
+        if depth_noise > 0:
+            rng = np.random.default_rng(1000 + i)
+            z_out = z + rng.normal(0.0, depth_noise, z.shape)
         cv2.imwrite(os.path.join(root, "depth", stamp + ".png"),
-                    np.clip(z * 1000.0, 0, 65535).astype(np.uint16))
+                    np.clip(z_out * 1000.0, 0, 65535).astype(np.uint16))
         cv2.imwrite(os.path.join(root, "rgb", stamp + ".png"),
                     np.clip(rgb * 255, 0, 255).astype(np.uint8)[..., ::-1])
         t = T[:3, 3]
-        gt_lines.append(f"{stamp} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} 0 0 0 1")
+        if pose_noise > 0:
+            prng = np.random.default_rng(2000 + i)
+            t = t + prng.normal(0.0, pose_noise, 3)
+            w = prng.normal(0.0, pose_noise, 3)     # small-angle rotvec
+            q = np.concatenate([w / 2.0, [1.0]])
+            q = q / np.linalg.norm(q)
+        else:
+            q = np.array([0.0, 0.0, 0.0, 1.0])
+        gt_lines.append(
+            f"{stamp} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+            f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}")
 
     with open(os.path.join(root, "pose.txt"), "w") as fh:
         fh.write("\n".join(gt_lines) + "\n")

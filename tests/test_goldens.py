@@ -105,3 +105,69 @@ def test_sokrates_converged_golden():
     n_verts = int([l for l in header.splitlines()
                    if l.startswith("element vertex")][0].split()[-1])
     assert 2e4 < n_verts < 2e5, n_verts
+
+
+@pytest.mark.slow
+def test_led_upsample_production_golden(tmp_path):
+    """Basket-LED-recipe rehearsal at production shape (round-2 VERDICT
+    #8): the LED model with the shipped config_basket_LED.json settings
+    (voxel 0.01, cauchy lam=0.2, reg_n=0.1, reg_l=5.0, damping 3.0,
+    upsample) over a 640x480 synthetic near-field sequence with sensor
+    noise (4 mm depth, 3 mm/0.003 rad pose) at a 128^3 grid.  Calibrated
+    on the real chip 2026-08-21 (bench/led_rehearsal.py): energy descends
+    21.85 -> 19.78 over six iterations, the iteration-5 upsample fires
+    (128^3 -> 256^3 at voxel 0.005, ~197k surface voxels), the
+    post-upsample blocks run at the new scale, and the loop ends by the
+    reference's own accounting (divergence abort at the renormalized
+    scale or convergence).  TPU-gated: megapixel-scale keyframes are
+    hours on CPU."""
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("production-shape LED golden runs on TPU only")
+
+    from test_e2e_led_cli import make_led_dataset
+
+    data = str(tmp_path / "data") + "/"
+    out = str(tmp_path / "out") + "/"
+    make_led_dataset(data, n_frames=12, H=480, W=640, f=576.0,
+                     depth_noise=0.004, pose_noise=0.003)
+    raw = {
+        "input": data, "output": out, "pose filename": "pose.txt",
+        "datatype": "led", "first": 0, "last": 11,
+        "voxel size": 0.01, "truncation factor": 5,
+        "zmin": 0.5, "zmax": 3.5, "sharpness threshold": 0.0,
+        "model type": "LED", "loss function": "cauchy",
+        "reg albedo": 0.0, "reg norm": 0.1, "reg laplacian": 5.0,
+        "max iter": 9, "damping": 3.0, "converge threshold": 1e-4,
+        "lambda": 0.2, "upsample": True, "grid dim": 128,
+    }
+    cfg = parse_config(raw)
+    pipe = ReconstructionPipeline(
+        cfg, compile_cache_dir="/tmp/psgsdf_xla_cache")
+    summary = pipe.run(refine=True)
+    assert summary["keyframes"] == 12, summary
+
+    totals = _energy_trace(out + "metrics.jsonl")
+    ups = [json.loads(l) for l in open(out + "metrics.jsonl")
+           if '"event": "upsample"' in l]
+    # pre-upsample: monotone descent through six iterations
+    assert len(totals) >= 6, totals
+    assert all(a > b for a, b in zip(totals[:5], totals[1:6])), totals
+    # the total carries the frozen pre-upsample Laplacian constant
+    # (~19.5 — see BASELINE.md), so assert the descent absolutely
+    # (measured drop 2.07) rather than as a ratio of the total
+    assert totals[0] - totals[5] > 1.0, totals
+    # the production-shape event: iteration-5 upsample to 256^3
+    assert len(ups) == 1, ups
+    assert ups[0]["dims"] == [256, 256, 256], ups
+    assert ups[0]["surface_voxels"] > 1e5, ups
+    # post-upsample blocks executed at the new scale (a 7th total exists)
+    assert len(totals) >= 7, totals
+    # terminal artifacts of a finished run
+    assert os.path.exists(out + "final_refined_mesh.ply")
+    header = open(out + "final_refined_mesh.ply", "rb").read(400).decode(
+        "latin1")
+    n_verts = int([l for l in header.splitlines()
+                   if l.startswith("element vertex")][0].split()[-1])
+    assert n_verts > 3e4, n_verts
