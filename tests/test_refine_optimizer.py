@@ -328,3 +328,34 @@ def test_pose_block_chunked_matches_full():
     finally:
         O._POSE_CHUNK = old
     assert np.allclose(np.asarray(p_ref), np.asarray(p_chunk), atol=1e-6)
+
+
+def test_warm_compile_parallel(tmp_path):
+    """The parallel AOT compile-warm (persistent-cache census cut) builds
+    valid programs for the loop's exact shapes/statics — exercised with a
+    cache dir configured, since warming no-ops without one."""
+    import jax
+
+    from helpers import wavy_scene
+    from psgradientsdf_tpu.config import OptimizerConfig
+    from psgradientsdf_tpu.refine.optimizer import PhotometricRefiner
+
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path / "cache"))
+    try:
+        sc = wavy_scene(dim=24, h=0.05, H=40, W=40, f=36.0)
+        cfg = OptimizerConfig(model="SH1", order=1, loss=1, lam=0.2,
+                              max_it=1, conv_threshold=1e-9,
+                              reg_weight_n=0.5, reg_weight_l=0.0,
+                              reg_weight_rho=0.0, damping=1.0)
+        ref = PhotometricRefiner(sc["vol"], sc["geom"], cfg,
+                                 np.asarray(sc["K"]),
+                                 truncation=sc["truncation"])
+        img = np.asarray(sc["frames"][0]["color"])[None]
+        ref.set_keyframes(img, np.eye(4, dtype=np.float32)[None], [0])
+        ref.init()           # triggers _warm_base_programs
+        ref.alternating_optimize(True, True, True, True)
+        # warming ran (cache dir configured) and captured no errors
+        assert getattr(ref, "_warm_errors", None) == {}, ref._warm_errors
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
