@@ -102,7 +102,6 @@ def run_tpu() -> dict:
         fuse_frame_culled_packed, make_volume,
     )
     from psgradientsdf_tpu.tracking.tracker import track_frame
-    from psgradientsdf_tpu.utils import se3
 
     wait_for_device()
 
@@ -122,7 +121,6 @@ def run_tpu() -> dict:
     from scipy.spatial.transform import Rotation
 
     off_np = np.eye(4, dtype=np.float32)
-    th = np.linalg.norm(OFFSET[3:])
     Rm = Rotation.from_rotvec(OFFSET[3:]).as_matrix().astype(np.float32)
     Kh = np.array([[0, -OFFSET[5], OFFSET[4]], [OFFSET[5], 0, -OFFSET[3]],
                    [-OFFSET[4], OFFSET[3], 0]], dtype=np.float32)
