@@ -149,10 +149,22 @@ def run_tpu() -> dict:
     # exactness is guaranteed by the overflow flag, asserted after every
     # timed run (the scenario's pose orbit moves the active set by well
     # under this margin)
-    n_act = int(count_active_rows(geom, depth, K, eye, **fuse_kw))
-    CAP = min(DIM * DIM, -(-int(n_act * 21 // 20) // 512) * 512)
-    log(f"[bench] fusion cull: {n_act}/{DIM*DIM} active rows -> capacity {CAP} "
-        f"({CAP*DIM/1e6:.2f}M gather idx vs {DIM**3/1e6:.2f}M full)")
+    # X-segment culling (core/volume.py seg_x) was MEASURED AND REJECTED
+    # here: 64-voxel segments cut the gather index count 19-41% at
+    # 256^3/512^3, but on the chip per-row gather overhead amortizes over
+    # the row length — ns/idx rose 6.1 -> 7.5 at 256^3 and the frame got
+    # SLOWER at every dim (128^3: 233.6 -> 188 fps; 256^3: 31.2 -> 24.4).
+    # Whole rows win; the capability stays in the library (tested) for
+    # scenes with far sparser rows.
+    SEG = None
+    S = SEG or DIM
+    NSEG_TOTAL = DIM * DIM * (DIM // S)
+    n_act = int(count_active_rows(geom, depth, K, eye, **fuse_kw, seg_x=SEG))
+    CAP = min(NSEG_TOTAL, -(-int(n_act * 21 // 20) // 512) * 512)
+    fuse_kw = dict(fuse_kw, seg_x=SEG)   # all culled fusion below uses it
+    log(f"[bench] fusion cull: {n_act}/{NSEG_TOTAL} active {S}-voxel "
+        f"segments -> capacity {CAP} ({CAP*S/1e6:.2f}M gather idx vs "
+        f"{DIM**3/1e6:.2f}M full)")
     # build the map from frame 0 with the CULLED kernel (bit-identical to
     # full-grid fuse_frame; the un-culled kernel's all-voxel gather output
     # alone is 4.3 GB at 512^3) — also pays compile + first-D2H tax
@@ -300,7 +312,7 @@ def run_tpu() -> dict:
         _ = float(g2(state0, seed()))
         t2 = time.perf_counter()
         fuse_s = min(fuse_s, ((t2 - t1) - (t1 - t0)) / 6)
-    n_idx = CAP * DIM
+    n_idx = CAP * S
     fuse_ns_per_idx = fuse_s * 1e9 / n_idx
     # bytes/frame: pixel-payload rows (32 B/idx) + state rows gathered and
     # scattered (8 f32 + 1 u32 vis word per voxel, both directions)

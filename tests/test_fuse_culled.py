@@ -49,30 +49,50 @@ def _poses():
     return poses
 
 
-@pytest.mark.parametrize("cap_frac", [1.0, 0.6])
-def test_culled_matches_exact(cap_frac):
+@pytest.mark.parametrize("cap_frac,seg_x", [(1.0, None), (0.6, None),
+                                             (1.0, 8), (0.6, 8)])
+def test_culled_matches_exact(cap_frac, seg_x):
     sc = wavy_scene(dim=32, h=0.04, H=48, W=64, f=50.0)
     geom, T = sc["geom"], sc["truncation"]
     fr = sc["frames"][0]
-    ZY = geom.dims[2] * geom.dims[1]
+    ns = 1 if seg_x is None else geom.dims[0] // seg_x
+    ZY = geom.dims[2] * geom.dims[1] * ns
     cap = int(ZY * cap_frac)
-    kw = dict(truncation=T, zmin=0.1, zmax=5.0)
+    kw = dict(truncation=T, zmin=0.1, zmax=5.0, seg_x=seg_x)
 
     vol_e = make_volume(geom, T, frame_cap=64)
     vol_c = vol_e
     any_overflow = False
     for fi, pose in enumerate(_poses()):
         pj = jnp.asarray(pose)
+        fkw = {k: v for k, v in kw.items() if k != "seg_x"}
         vol_e = fuse_frame(
             vol_e, geom, fr["color"], fr["depth"], fr["normals"],
-            fr["n_sq_inv"], sc["K"], pj, jnp.int32(fi + 30), **kw)
+            fr["n_sq_inv"], sc["K"], pj, jnp.int32(fi + 30), **fkw)
         vol_c, ov = fuse_frame_culled(
             vol_c, geom, fr["color"], fr["depth"], fr["normals"],
             fr["n_sq_inv"], sc["K"], pj, jnp.int32(fi + 30), **kw,
             row_capacity=cap)
         any_overflow = any_overflow or bool(ov)
         if not bool(ov):
-            _assert_equal_vol(vol_c, vol_e)
+            if seg_x is None:
+                _assert_equal_vol(vol_c, vol_e)      # bit-exact
+            else:
+                # segment shapes change the minor-dim vectorization, so
+                # p_c differs by ~1 ULP — harmless except at voxels whose
+                # viewing-angle/weight gate sits exactly on its threshold,
+                # where the flip includes/excludes ONE frame.  Contract:
+                # everything ULP-close except a <0.5% gate-flip fraction.
+                for name in ("dist", "grad", "weight", "color"):
+                    a = np.asarray(getattr(vol_c, name))
+                    b = np.asarray(getattr(vol_e, name))
+                    frac = float(np.mean(~np.isclose(a, b, rtol=0, atol=2e-6)))
+                    assert frac < 0.005, (name, frac)
+                vfrac = float(np.mean(np.asarray(vol_c.vis)
+                                      != np.asarray(vol_e.vis)))
+                assert vfrac < 0.005, vfrac
+                # resync so gate flips don't compound across the pose loop
+                vol_c = vol_e
         else:
             # overflow contract: flag raised; caller re-runs. resync here.
             vol_c = vol_e
