@@ -149,8 +149,26 @@ def _tpu(log) -> dict:
 
     t1, t5 = t(f1), t(f5)
     per_block = (t5 - t1) / 4.0
+
+    # auditable floor (round-4 VERDICT #6): XLA's own cost analysis of the
+    # compiled ONE-block executable -> flops + bytes accessed, so the block
+    # time carries machine-generated utilization numbers instead of a bare
+    # wall-clock.  (Marginal-cost caveat: the 1-block program includes the
+    # fixed problem setup, so per-block utilization is a lower bound.)
+    flops = bytes_acc = None
+    try:
+        ca = jax.jit(make(1)).lower(
+            prob.dist, prob.grad_stored).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca:
+            flops = float(ca.get("flops", 0.0)) or None
+            bytes_acc = float(ca.get("bytes accessed", 0.0)) or None
+    except Exception as e:  # remote backends may not expose cost analysis
+        log(f"[refine-bench] cost_analysis unavailable: {type(e).__name__}: {e}")
     return dict(surface_voxels=n_surf, frames=FRAMES,
                 dist_block_s=per_block, t1=t1, t5=t5,
+                flops=flops, bytes_accessed=bytes_acc,
                 backend=jax.default_backend())
 
 
@@ -170,6 +188,20 @@ def run(log=print) -> dict:
         "refine_surface_voxels_cpp": cpp["surface_voxels"],
         "refine_surface_voxels_tpu": tpu["surface_voxels"],
         "refine_frames": FRAMES,
+        # v5e peaks: 197 TFLOP/s bf16 MXU, 819 GB/s HBM.  The block is
+        # gather/scatter-bound (sparse stencils), so the meaningful floor is
+        # the bytes side; flops utilization is reported for completeness.
+        "refine_dist_block_flops": tpu.get("flops"),
+        "refine_dist_block_bytes": tpu.get("bytes_accessed"),
+        "refine_dist_block_gbps": (
+            round(tpu["bytes_accessed"] / tpu["dist_block_s"] / 1e9, 2)
+            if tpu.get("bytes_accessed") else None),
+        "refine_dist_block_hbm_frac": (
+            round(tpu["bytes_accessed"] / tpu["dist_block_s"] / 819e9, 4)
+            if tpu.get("bytes_accessed") else None),
+        "refine_dist_block_tflops": (
+            round(tpu["flops"] / tpu["dist_block_s"] / 1e12, 3)
+            if tpu.get("flops") else None),
         "refine_scenario": (
             f"{DIM}^3 grid, SH1, cauchy, {FRAMES} keyframes all-visible, "
             "one distance block = residual + 4-voxel-stencil Jacobian + "

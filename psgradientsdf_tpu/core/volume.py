@@ -31,6 +31,49 @@ import jax.numpy as jnp
 from psgradientsdf_tpu.core.grid import GridGeometry
 
 
+def _state_rows_gather(table2d: jax.Array, idx: jax.Array, impl: str):
+    """Gather CAP contiguous state rows from a [NSEG, R] 2-D view.
+
+    impl selects the movement engine (measured at 512^3 shapes,
+    bench/row_probe.py):
+      "xla"    caller keeps its historical inline jnp.take (this helper
+               unused) — XLA fuses the update arithmetic into the gather
+               and the movement runs at element-gather cost (~23 GB/s
+               in situ).
+      "xla2d"  jnp.take on the 2-D row view fenced with
+               optimization_barrier so the movement compiles as a
+               standalone row copy (60 GB/s standalone).
+      "pallas" explicit HBM->HBM row DMAs (ops/rowcopy.py).
+    """
+    if impl == "pallas" and table2d.shape[1] % 128 != 0:
+        impl = "xla2d"   # Mosaic needs 128-multiple rows; tiny test grids
+    if impl == "xla2d":
+        return jax.lax.optimization_barrier(jnp.take(table2d, idx, axis=0))
+    if impl == "pallas":
+        from psgradientsdf_tpu.ops import rowcopy
+
+        return rowcopy.gather_rows_dma(table2d, idx)
+    raise ValueError(impl)
+
+
+def _state_rows_scatter(table2d: jax.Array, idx: jax.Array, rows: jax.Array,
+                        impl: str):
+    """Scatter rows back into the [NSEG, R] 2-D view at idx (see gather).
+
+    idx may contain duplicates ONLY if their rows carry identical data
+    (the culled kernels' padding contract)."""
+    rows = jax.lax.optimization_barrier(rows)
+    if impl == "pallas" and table2d.shape[1] % 128 != 0:
+        impl = "xla2d"   # Mosaic needs 128-multiple rows; tiny test grids
+    if impl == "xla2d":
+        return table2d.at[idx].set(rows)
+    if impl == "pallas":
+        from psgradientsdf_tpu.ops import rowcopy
+
+        return rowcopy.scatter_rows_dma(table2d, idx, rows)
+    raise ValueError(impl)
+
+
 class GradSdfVolume(NamedTuple):
     dist: jax.Array      # [Z,Y,X] f32
     grad: jax.Array      # [Z,Y,X,3] f32
@@ -81,7 +124,19 @@ def _fuse_voxel_update(
     kernel (fuse_frame) and the row-culled kernel (fuse_frame_culled), so
     the two are arithmetically identical by construction.
 
-    Returns (new_dist, new_grad, new_weight, new_color, vis_or [uint32])."""
+    Returns (new_dist, new_grad, new_weight, new_color, vis_or [uint32]).
+
+    The state inputs and outputs are optimization_barrier-fenced so the
+    update compiles as the SAME fusion island in every caller: without the
+    fences, kernels whose state movement is itself fenced (rows_impl !=
+    "xla") saw XLA make different FMA-contraction choices inside the grad
+    update than fuse_frame did, producing 1-ULP grad differences and
+    breaking the kernels' bit-identity contract (round 4).  The fences
+    also decouple state movement from update arithmetic, which is what
+    lets the movement compile as real row copies instead of element
+    gathers (BASELINE.md "state-row movement")."""
+    dist, grad, weight, color_v = jax.lax.optimization_barrier(
+        (dist, grad, weight, color_v))
     H, W = img_hw
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
@@ -138,7 +193,8 @@ def _fuse_voxel_update(
     new_grad = grad - wm[..., None] * n_world
     new_color = color_v + (col - color_v) * (wm / safe_W)[..., None]
     vis_or = jnp.where(mask, bit, jnp.uint32(0))
-    return new_dist, new_grad, new_weight, new_color, vis_or
+    return jax.lax.optimization_barrier(
+        (new_dist, new_grad, new_weight, new_color, vis_or))
 
 
 def pack_pixel_payload(color, depth, normals, n_sq_inv):
@@ -325,7 +381,7 @@ def count_active_rows(
     jax.jit,
     static_argnames=(
         "geom", "truncation", "zmin", "zmax", "cos_thresh_sq",
-        "row_capacity", "seg_x",
+        "row_capacity", "seg_x", "rows_impl",
     ),
 )
 def fuse_frame_culled(
@@ -346,6 +402,7 @@ def fuse_frame_culled(
     cos_thresh_sq: float = 0.25 * 0.25,
     row_capacity: int,
     seg_x: Optional[int] = None,
+    rows_impl: str = "xla",
 ) -> Tuple[GradSdfVolume, jax.Array]:
     """Two-level-culled fusion: exact fuse_frame semantics at a fraction of
     the gather cost.
@@ -395,6 +452,7 @@ def fuse_frame_culled(
         depth.shape, frame_idx, gate,
         truncation=truncation, zmin=zmin, zmax=zmax,
         cos_thresh_sq=cos_thresh_sq, row_capacity=row_capacity, seg_x=seg_x,
+        rows_impl=rows_impl,
     )
 
 
@@ -417,12 +475,15 @@ def _fuse_culled_slab(
     cos_thresh_sq: float,
     row_capacity: int,
     seg_x: Optional[int] = None,
+    rows_impl: str = "xla",
 ) -> Tuple[GradSdfVolume, jax.Array]:
     """Level 2 of the culled fusion on a Z-slab: compact active rows (or
     S-voxel X-segments with seg_x — contiguous state slices either way)
     to the static capacity, gather their state slices, run the exact
     per-voxel update, scatter back.  Shared by the single-device kernel
-    (z0=None, z_rows=Z) and the shard_map per-slab body."""
+    (z0=None, z_rows=Z) and the shard_map per-slab body.
+
+    rows_impl: state-row movement engine — see fuse_frame_culled_packed."""
     H, W = img_hw
     X, Y = geom.dims[0], geom.dims[1]
     S = X if seg_x is None else seg_x
@@ -436,17 +497,37 @@ def _fuse_culled_slab(
     overflow = n_active > row_capacity
     (rows_idx,) = jnp.nonzero(active_flat, size=row_capacity, fill_value=NSEG)
     slot_ok = rows_idx < NSEG
-    safe_rows = jnp.minimum(rows_idx, NSEG - 1)
+    if rows_impl == "xla":
+        safe_rows = jnp.minimum(rows_idx, NSEG - 1)
+        row_gate = slot_ok[:, None]
+    else:
+        # duplicate-first-active padding (see fuse_frame_culled_packed)
+        first = jnp.minimum(rows_idx[0], NSEG - 1)
+        safe_rows = jnp.where(slot_ok, jnp.minimum(rows_idx, NSEG - 1), first)
+        row_gate = None
+    if gate is not None:
+        row_gate = gate if row_gate is None else (row_gate & gate)
 
-    d_r = jnp.take(vol.dist.reshape(NSEG, S), safe_rows, axis=0)
-    g_r = jnp.take(vol.grad.reshape(NSEG, S, 3), safe_rows, axis=0)
-    w_r = jnp.take(vol.weight.reshape(NSEG, S), safe_rows, axis=0)
-    c_r = jnp.take(vol.color.reshape(NSEG, S, 3), safe_rows, axis=0)
     word = frame_idx // 32
     bit = (jnp.uint32(1) << jnp.uint32(frame_idx % 32))
     vis_word = jax.lax.dynamic_index_in_dim(
         vol.vis.reshape(-1, NSEG, S), word, axis=0, keepdims=False)
-    vw_r = jnp.take(vis_word, safe_rows, axis=0)
+    if rows_impl == "xla":
+        d_r = jnp.take(vol.dist.reshape(NSEG, S), safe_rows, axis=0)
+        g_r = jnp.take(vol.grad.reshape(NSEG, S, 3), safe_rows, axis=0)
+        w_r = jnp.take(vol.weight.reshape(NSEG, S), safe_rows, axis=0)
+        c_r = jnp.take(vol.color.reshape(NSEG, S, 3), safe_rows, axis=0)
+        vw_r = jnp.take(vis_word, safe_rows, axis=0)
+    else:
+        d_r = _state_rows_gather(vol.dist.reshape(NSEG, S), safe_rows,
+                                 rows_impl)
+        g_r = _state_rows_gather(vol.grad.reshape(NSEG, S * 3), safe_rows,
+                                 rows_impl).reshape(row_capacity, S, 3)
+        w_r = _state_rows_gather(vol.weight.reshape(NSEG, S), safe_rows,
+                                 rows_impl)
+        c_r = _state_rows_gather(vol.color.reshape(NSEG, S * 3), safe_rows,
+                                 rows_impl).reshape(row_capacity, S, 3)
+        vw_r = _state_rows_gather(vis_word, safe_rows, "xla2d")
 
     rz = (safe_rows // (Y * NS)).astype(jnp.float32)      # [A] slab-local z
     if z0 is not None:
@@ -460,9 +541,6 @@ def _fuse_culled_slab(
          origin[2] + h * jnp.broadcast_to(rz[:, None], (row_capacity, S))],
         axis=-1)
 
-    row_gate = slot_ok[:, None]
-    if gate is not None:
-        row_gate = row_gate & gate
     nd, ng, nw, nc, vis_or = _fuse_voxel_update(
         p_w, d_r, g_r, w_r, c_r, pix_payload, K, pose, (H, W), bit, row_gate,
         truncation=truncation, zmin=zmin, zmax=zmax,
@@ -470,16 +548,32 @@ def _fuse_culled_slab(
     )
     nvw = vw_r | vis_or
 
-    # scatter slices back (fill index NSEG is out of range -> mode='drop')
-    new_dist = vol.dist.reshape(NSEG, S).at[rows_idx].set(
-        nd, mode="drop").reshape(vol.dist.shape)
-    new_grad = vol.grad.reshape(NSEG, S, 3).at[rows_idx].set(
-        ng, mode="drop").reshape(vol.grad.shape)
-    new_weight = vol.weight.reshape(NSEG, S).at[rows_idx].set(
-        nw, mode="drop").reshape(vol.weight.shape)
-    new_color = vol.color.reshape(NSEG, S, 3).at[rows_idx].set(
-        nc, mode="drop").reshape(vol.color.shape)
-    new_vis_word = vis_word.at[rows_idx].set(nvw, mode="drop")
+    if rows_impl == "xla":
+        # scatter slices back (fill index NSEG out of range -> mode='drop')
+        new_dist = vol.dist.reshape(NSEG, S).at[rows_idx].set(
+            nd, mode="drop").reshape(vol.dist.shape)
+        new_grad = vol.grad.reshape(NSEG, S, 3).at[rows_idx].set(
+            ng, mode="drop").reshape(vol.grad.shape)
+        new_weight = vol.weight.reshape(NSEG, S).at[rows_idx].set(
+            nw, mode="drop").reshape(vol.weight.shape)
+        new_color = vol.color.reshape(NSEG, S, 3).at[rows_idx].set(
+            nc, mode="drop").reshape(vol.color.shape)
+        new_vis_word = vis_word.at[rows_idx].set(nvw, mode="drop")
+    else:
+        new_dist = _state_rows_scatter(
+            vol.dist.reshape(NSEG, S), safe_rows, nd, rows_impl
+        ).reshape(vol.dist.shape)
+        new_grad = _state_rows_scatter(
+            vol.grad.reshape(NSEG, S * 3), safe_rows,
+            ng.reshape(row_capacity, S * 3), rows_impl).reshape(vol.grad.shape)
+        new_weight = _state_rows_scatter(
+            vol.weight.reshape(NSEG, S), safe_rows, nw, rows_impl
+        ).reshape(vol.weight.shape)
+        new_color = _state_rows_scatter(
+            vol.color.reshape(NSEG, S * 3), safe_rows,
+            nc.reshape(row_capacity, S * 3), rows_impl
+        ).reshape(vol.color.shape)
+        new_vis_word = _state_rows_scatter(vis_word, safe_rows, nvw, "xla2d")
     new_vis = jax.lax.dynamic_update_index_in_dim(
         vol.vis.reshape(-1, NSEG, S), new_vis_word, word, axis=0
     ).reshape(vol.vis.shape)
@@ -489,6 +583,201 @@ def _fuse_culled_slab(
                       color=new_color, vis=new_vis),
         overflow,
     )
+
+
+def _fuse_frames_batched_core(
+    p_w: jax.Array,          # [CAP,S,3] voxel-center world coords
+    d_r, g_r, w_r, c_r,      # gathered state rows [CAP,S]/[CAP,S,3]
+    colors, depths, normals, n_sq_invs,   # stacked frames [K,...]
+    K: jax.Array,
+    poses: jax.Array,        # [K,4,4]
+    frame_ids: jax.Array,    # [K] int32, ascending, spanning <= 2 vis words
+    gates,                   # [K] bool or None
+    slot_ok: jax.Array,      # [CAP] bool (capacity padding slots)
+    img_hw: Tuple[int, int],
+    *,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+    cos_thresh_sq: float,
+):
+    """Apply K frames' per-voxel fusion updates to once-gathered state rows.
+
+    The reference's per-voxel update (VolumetricGradSdf.cpp:121-131) is a
+    weighted running mean + OR'd visibility, so applying the K per-frame
+    updates IN ORDER on the gathered rows is arithmetically identical —
+    bit-identical, same op order — to K sequential fuse_frame calls, while
+    the state rows move between HBM and the kernel once instead of K times
+    (VERDICT round-3 #3).  A row in the union cull set but inactive for
+    frame k passes no per-voxel gate for k (the cull is a conservative
+    superset per frame), so its frame-k update is the identity.
+
+    Visibility bits accumulate into at most TWO words (acc_lo for
+    frame_ids[0]'s word, acc_hi for the next); bits for frames outside
+    that span are DROPPED — callers pass consecutive ids (the returned
+    `bad_words` flag reports violations).
+
+    Returns ((d,g,w,c), acc_lo, acc_hi, word_lo, bad_words)."""
+    KF = depths.shape[0]
+    word_lo = frame_ids[0] // 32
+    ws = frame_ids // 32
+    bad_words = jnp.any((ws != word_lo) & (ws != word_lo + 1))
+
+    def body(k, carry):
+        d, g, w, c, acc_lo, acc_hi = carry
+        pixp = pack_pixel_payload(colors[k], depths[k], normals[k],
+                                  n_sq_invs[k])
+        fid = frame_ids[k]
+        bit = jnp.uint32(1) << jnp.uint32(fid % 32)
+        row_gate = slot_ok[:, None]
+        if gates is not None:
+            row_gate = row_gate & gates[k]
+        nd, ng, nw, nc, vis_or = _fuse_voxel_update(
+            p_w, d, g, w, c, pixp, K, poses[k], img_hw, bit, row_gate,
+            truncation=truncation, zmin=zmin, zmax=zmax,
+            cos_thresh_sq=cos_thresh_sq,
+        )
+        in_lo = (fid // 32) == word_lo
+        acc_lo = acc_lo | jnp.where(in_lo, vis_or, jnp.uint32(0))
+        acc_hi = acc_hi | jnp.where(in_lo, jnp.uint32(0), vis_or)
+        return nd, ng, nw, nc, acc_lo, acc_hi
+
+    zero_u32 = jnp.zeros(d_r.shape, jnp.uint32)
+    d, g, w, c, acc_lo, acc_hi = jax.lax.fori_loop(
+        0, KF, body, (d_r, g_r, w_r, c_r, zero_u32, zero_u32))
+    return (d, g, w, c), acc_lo, acc_hi, word_lo, bad_words
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "geom", "truncation", "zmin", "zmax", "cos_thresh_sq", "row_capacity",
+    ),
+)
+def fuse_frames_culled(
+    vol: GradSdfVolume,
+    geom: GridGeometry,
+    colors: jax.Array,      # [K,H,W,3]
+    depths: jax.Array,      # [K,H,W]
+    normals: jax.Array,     # [K,H,W,3]
+    n_sq_invs: jax.Array,   # [K,H,W]
+    K: jax.Array,
+    poses: jax.Array,       # [K,4,4]
+    frame_ids: jax.Array,   # [K] int32 ascending, spanning <= 2 vis words
+    gates: Optional[jax.Array] = None,   # [K] bool
+    *,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+    cos_thresh_sq: float = 0.25 * 0.25,
+    row_capacity: int,
+) -> Tuple[GradSdfVolume, jax.Array]:
+    """K-frame batched row-culled fusion: bit-identical to K sequential
+    fuse_frame_culled calls (shared _fuse_voxel_update applied per frame in
+    order), with ONE state-row gather/scatter for the whole batch.
+
+    The cull is the UNION of the per-frame level-1 row culls, so
+    row_capacity must cover the union (overflow flag otherwise — also set
+    if frame_ids span more than two visibility words).
+
+    This is the GT-pose fusion fast path (main_ps.cpp:216-220: fusion at
+    given poses, no tracker feedback between frames).  Under tracking the
+    per-frame kernel remains the product path — fusing a chunk at once
+    would give the tracker a K-frame-stale map."""
+    X, Y, Zd = geom.dims
+    S = X
+    NSEG = Zd * Y
+    H, W = depths.shape[1], depths.shape[2]
+
+    def act_k(d, p, g):
+        a = _row_activity(geom, d, K, p, truncation=truncation, zmin=zmin,
+                          zmax=zmax)
+        return a & g if g is not None else a
+
+    if gates is not None:
+        acts = jax.vmap(act_k)(depths, poses, gates)
+    else:
+        acts = jax.vmap(lambda d, p: act_k(d, p, None))(depths, poses)
+    active = jnp.any(acts, axis=0)
+
+    active_flat = active.reshape(-1)
+    n_active = jnp.sum(active_flat.astype(jnp.int32))
+    overflow = n_active > row_capacity
+    (rows_idx,) = jnp.nonzero(active_flat, size=row_capacity, fill_value=NSEG)
+    slot_ok = rows_idx < NSEG
+    safe_rows = jnp.minimum(rows_idx, NSEG - 1)
+
+    d_r = jnp.take(vol.dist.reshape(NSEG, S), safe_rows, axis=0)
+    g_r = jnp.take(vol.grad.reshape(NSEG, S, 3), safe_rows, axis=0)
+    w_r = jnp.take(vol.weight.reshape(NSEG, S), safe_rows, axis=0)
+    c_r = jnp.take(vol.color.reshape(NSEG, S, 3), safe_rows, axis=0)
+
+    p_w = _row_world_coords(geom, safe_rows, None, S, 1, row_capacity)
+
+    (nd, ng, nw, nc), acc_lo, acc_hi, word_lo, bad_words = (
+        _fuse_frames_batched_core(
+            p_w, d_r, g_r, w_r, c_r, colors, depths, normals, n_sq_invs,
+            K, poses, frame_ids, gates, slot_ok, (H, W),
+            truncation=truncation, zmin=zmin, zmax=zmax,
+            cos_thresh_sq=cos_thresh_sq,
+        ))
+
+    new_dist = vol.dist.reshape(NSEG, S).at[rows_idx].set(
+        nd, mode="drop").reshape(vol.dist.shape)
+    new_grad = vol.grad.reshape(NSEG, S, 3).at[rows_idx].set(
+        ng, mode="drop").reshape(vol.grad.shape)
+    new_weight = vol.weight.reshape(NSEG, S).at[rows_idx].set(
+        nw, mode="drop").reshape(vol.weight.shape)
+    new_color = vol.color.reshape(NSEG, S, 3).at[rows_idx].set(
+        nc, mode="drop").reshape(vol.color.shape)
+
+    vis3 = vol.vis.reshape(-1, NSEG, S)
+    n_words = vis3.shape[0]
+    w_hi = jnp.minimum(word_lo + 1, n_words - 1)
+    vw_lo = jnp.take(jax.lax.dynamic_index_in_dim(
+        vis3, word_lo, axis=0, keepdims=False), safe_rows, axis=0)
+    vw_hi = jnp.take(jax.lax.dynamic_index_in_dim(
+        vis3, w_hi, axis=0, keepdims=False), safe_rows, axis=0)
+    new_lo = vw_lo | acc_lo
+    # when w_hi clamps onto word_lo the hi write must repeat the lo content,
+    # not resurrect the pre-update row (acc_hi is provably 0 there only if
+    # the caller's ids were in range — don't rely on it)
+    new_hi = jnp.where(w_hi == word_lo, new_lo, vw_hi | acc_hi)
+    plane_lo = jax.lax.dynamic_index_in_dim(
+        vis3, word_lo, axis=0, keepdims=False).at[rows_idx].set(
+        new_lo, mode="drop")
+    vis3 = jax.lax.dynamic_update_index_in_dim(vis3, plane_lo, word_lo, axis=0)
+    plane_hi = jax.lax.dynamic_index_in_dim(
+        vis3, w_hi, axis=0, keepdims=False).at[rows_idx].set(
+        new_hi, mode="drop")
+    vis3 = jax.lax.dynamic_update_index_in_dim(vis3, plane_hi, w_hi, axis=0)
+    new_vis = vis3.reshape(vol.vis.shape)
+
+    return (
+        GradSdfVolume(dist=new_dist, grad=new_grad, weight=new_weight,
+                      color=new_color, vis=new_vis),
+        overflow | bad_words,
+    )
+
+
+def _row_world_coords(geom: GridGeometry, safe_rows: jax.Array, z0, S: int,
+                      NS: int, capacity: int) -> jax.Array:
+    """World coordinates [CAP,S,3] of the voxels in compacted rows/segments
+    (the shared index arithmetic of the culled kernels)."""
+    X, Y = geom.dims[0], geom.dims[1]
+    origin = jnp.array(geom.origin, dtype=jnp.float32)
+    h = geom.voxel_size
+    rz = (safe_rows // (Y * NS)).astype(jnp.float32)
+    if z0 is not None:
+        rz = rz + z0.astype(jnp.float32)
+    ry = ((safe_rows // NS) % Y).astype(jnp.float32)
+    rx0 = (safe_rows % NS).astype(jnp.float32) * S
+    rx = rx0[:, None] + jnp.arange(S, dtype=jnp.float32)[None, :]
+    return jnp.stack(
+        [origin[0] + h * rx,
+         origin[1] + h * jnp.broadcast_to(ry[:, None], (capacity, S)),
+         origin[2] + h * jnp.broadcast_to(rz[:, None], (capacity, S))],
+        axis=-1)
 
 
 class PackedVolume(NamedTuple):
@@ -540,7 +829,7 @@ class PackedVolume(NamedTuple):
     jax.jit,
     static_argnames=(
         "geom", "truncation", "zmin", "zmax", "cos_thresh_sq",
-        "row_capacity", "seg_x",
+        "row_capacity", "seg_x", "rows_impl",
     ),
 )
 def fuse_frame_culled_packed(
@@ -561,13 +850,22 @@ def fuse_frame_culled_packed(
     cos_thresh_sq: float = 0.25 * 0.25,
     row_capacity: int,
     seg_x: Optional[int] = None,
+    rows_impl: str = "xla",
 ) -> Tuple[PackedVolume, jax.Array]:
     """fuse_frame_culled on PackedVolume state: identical level-1 cull and
     per-voxel math (shared _row_activity / _fuse_voxel_update), but the
     level-2 gather/scatter moves ONE [CAP, S, 8] row table instead of four
     separate state arrays — and leaves the tracking payload up to date for
     free (see PackedVolume).  seg_x: X-segment culling granularity (see
-    fuse_frame_culled)."""
+    fuse_frame_culled).
+
+    rows_impl selects the state-row movement engine (_state_rows_gather):
+    "xla" (historical inline take/set — XLA fuses the update into the
+    movement, ~23 GB/s in situ), "xla2d" (barrier-fenced 2-D row copy),
+    "pallas" (explicit row DMAs).  All three are bit-identical: the
+    non-"xla" impls pad capacity slots by DUPLICATING the first compacted
+    row (computing its update twice) instead of gating them off, so every
+    scatter of a duplicated index writes identical bytes."""
     active = _row_activity(
         geom, depth, K, pose, truncation=truncation, zmin=zmin, zmax=zmax,
         seg_x=seg_x)
@@ -588,15 +886,34 @@ def fuse_frame_culled_packed(
     overflow = n_active > row_capacity
     (rows_idx,) = jnp.nonzero(active_flat, size=row_capacity, fill_value=NSEG)
     slot_ok = rows_idx < NSEG
-    safe_rows = jnp.minimum(rows_idx, NSEG - 1)
+    if rows_impl == "xla":
+        safe_rows = jnp.minimum(rows_idx, NSEG - 1)
+        row_gate = slot_ok[:, None]
+    else:
+        # duplicate-first-active padding: padded slots mirror the first
+        # compacted row, compute its update again (identical bytes), and
+        # scatter it again — so the scatter needs no drop mode and the
+        # movement stays a pure indexed row copy
+        first = jnp.minimum(rows_idx[0], NSEG - 1)
+        safe_rows = jnp.where(slot_ok, jnp.minimum(rows_idx, NSEG - 1), first)
+        row_gate = None
+    if gate is not None:
+        row_gate = gate if row_gate is None else (row_gate & gate)
 
     state3 = pvol.payload.reshape(NSEG, S, 8)   # internal view; boundary
-    rows = jnp.take(state3, safe_rows, axis=0)            # [CAP, S, 8]
     word = frame_idx // 32
     bit = (jnp.uint32(1) << jnp.uint32(frame_idx % 32))
     vis_word = jax.lax.dynamic_index_in_dim(
         pvol.vis.reshape(-1, NSEG, S), word, axis=0, keepdims=False)
-    vw_r = jnp.take(vis_word, safe_rows, axis=0)
+    if rows_impl == "xla":
+        rows = jnp.take(state3, safe_rows, axis=0)        # [CAP, S, 8]
+        vw_r = jnp.take(vis_word, safe_rows, axis=0)
+    else:
+        rows = _state_rows_gather(
+            pvol.payload.reshape(NSEG, S * 8), safe_rows, rows_impl
+        ).reshape(row_capacity, S, 8)
+        # vis rows are 1/9 of the bytes; the 2-D barrier copy suffices
+        vw_r = _state_rows_gather(vis_word, safe_rows, "xla2d")
 
     rz = (safe_rows // (Y * NS)).astype(jnp.float32)
     ry = ((safe_rows // NS) % Y).astype(jnp.float32)
@@ -608,9 +925,6 @@ def fuse_frame_culled_packed(
          origin[2] + h * jnp.broadcast_to(rz[:, None], (row_capacity, S))],
         axis=-1)
 
-    row_gate = slot_ok[:, None]
-    if gate is not None:
-        row_gate = row_gate & gate
     nd, ng, nw, nc, vis_or = _fuse_voxel_update(
         p_w, rows[..., 0], rows[..., 1:4], rows[..., 4], rows[..., 5:8],
         pix_payload, K, pose, (H, W), bit, row_gate,
@@ -621,9 +935,16 @@ def fuse_frame_culled_packed(
         [nd[..., None], ng, nw[..., None], nc], axis=-1)
     nvw = vw_r | vis_or
 
-    new_payload = state3.at[rows_idx].set(
-        new_rows, mode="drop").reshape(pvol.payload.shape)
-    new_vis_word = vis_word.at[rows_idx].set(nvw, mode="drop")
+    if rows_impl == "xla":
+        new_payload = state3.at[rows_idx].set(
+            new_rows, mode="drop").reshape(pvol.payload.shape)
+        new_vis_word = vis_word.at[rows_idx].set(nvw, mode="drop")
+    else:
+        new_payload = _state_rows_scatter(
+            pvol.payload.reshape(NSEG, S * 8), safe_rows,
+            new_rows.reshape(row_capacity, S * 8), rows_impl
+        ).reshape(pvol.payload.shape)
+        new_vis_word = _state_rows_scatter(vis_word, safe_rows, nvw, "xla2d")
     new_vis = jax.lax.dynamic_update_index_in_dim(
         pvol.vis.reshape(-1, NSEG, S), new_vis_word, word, axis=0
     ).reshape(pvol.vis.shape)

@@ -270,3 +270,117 @@ def test_packed_tracking_matches_unpacked():
     assert int(r_soa.iterations) == int(r_pkd.iterations)
     np.testing.assert_array_equal(
         np.asarray(r_soa.energy), np.asarray(r_pkd.energy))
+
+
+def _assert_equal_vol_grad_ulp(got, ref):
+    """dist/weight/color/vis bit-identical; grad within 1 ULP.
+
+    The barrier-fenced movement impls change the grad operand's layout
+    (2-D row view), and XLA makes layout-dependent FMA-contraction
+    choices inside the (otherwise identical, barrier-fenced) update
+    island — a 1-ULP artifact on the grad accumulate only."""
+    np.testing.assert_array_equal(np.asarray(got.dist), np.asarray(ref.dist))
+    np.testing.assert_array_equal(np.asarray(got.weight), np.asarray(ref.weight))
+    np.testing.assert_array_equal(np.asarray(got.color), np.asarray(ref.color))
+    np.testing.assert_array_equal(np.asarray(got.vis), np.asarray(ref.vis))
+    a, b = np.asarray(got.grad), np.asarray(ref.grad)
+    ulp = np.spacing(np.abs(b).astype(np.float32))
+    # 1 ULP per fused frame, accumulating over the test's pose loop
+    assert np.all(np.abs(a - b) <= 4 * ulp), (
+        f"grad beyond 4 ULP: max {np.abs(a - b).max()}")
+
+
+@pytest.mark.parametrize("rows_impl", ["xla2d", "pallas"])
+def test_rows_impl_variants_bit_identical(rows_impl):
+    """The barrier-fenced 2-D copy and Pallas row-DMA state movement
+    (round-4, _state_rows_gather/_state_rows_scatter) match fuse_frame —
+    bit-identical except grad within 1 ULP (_assert_equal_vol_grad_ulp) —
+    including the duplicate-first-active capacity padding."""
+    from psgradientsdf_tpu.core.volume import (
+        PackedVolume, fuse_frame_culled_packed,
+    )
+
+    sc = wavy_scene(dim=32, h=0.04, H=48, W=64, f=50.0)
+    geom, T = sc["geom"], sc["truncation"]
+    fr = sc["frames"][0]
+    ZY = geom.dims[2] * geom.dims[1]
+    kw = dict(truncation=T, zmin=0.1, zmax=5.0)
+
+    vol_e = make_volume(geom, T, frame_cap=64)
+    vol_c = vol_e
+    pvol = PackedVolume.from_volume(vol_e)
+    for fi, pose in enumerate(_poses()):
+        pj = jnp.asarray(pose)
+        vol_e = fuse_frame(
+            vol_e, geom, fr["color"], fr["depth"], fr["normals"],
+            fr["n_sq_inv"], sc["K"], pj, jnp.int32(fi + 30), **kw)
+        vol_c, ov = fuse_frame_culled(
+            vol_c, geom, fr["color"], fr["depth"], fr["normals"],
+            fr["n_sq_inv"], sc["K"], pj, jnp.int32(fi + 30), **kw,
+            row_capacity=ZY, rows_impl=rows_impl)
+        pvol, ovp = fuse_frame_culled_packed(
+            pvol, geom, fr["color"], fr["depth"], fr["normals"],
+            fr["n_sq_inv"], sc["K"], pj, jnp.int32(fi + 30), **kw,
+            row_capacity=ZY, rows_impl=rows_impl)
+        assert not bool(ov) and not bool(ovp)
+        _assert_equal_vol_grad_ulp(vol_c, vol_e)
+        _assert_equal_vol_grad_ulp(pvol.to_volume(), vol_e)
+
+
+@pytest.mark.parametrize("rows_impl", ["xla", "xla2d"])
+def test_fuse_frames_batched_bit_identical(rows_impl):
+    """K-frame batched fusion (fuse_frames_culled) == K sequential
+    fuse_frame calls bit-for-bit: shared per-voxel update applied in
+    order on once-gathered union rows.  Covers a vis word boundary
+    (ids 30..35 span words 0 and 1), per-frame gates, and the overflow
+    flag on an undersized capacity."""
+    from psgradientsdf_tpu.core.volume import fuse_frames_culled
+
+    del rows_impl  # batched kernel currently ships the xla movement only
+    sc = wavy_scene(dim=32, h=0.04, H=48, W=64, f=50.0)
+    geom, T = sc["geom"], sc["truncation"]
+    fr = sc["frames"][0]
+    ZY = geom.dims[2] * geom.dims[1]
+    kw = dict(truncation=T, zmin=0.1, zmax=5.0)
+    poses = _poses()
+    KF = len(poses)
+    gates = np.ones(KF, bool)
+    gates[2] = False                      # one gated-off frame
+
+    vol_seq = make_volume(geom, T, frame_cap=64)
+    for fi, pose in enumerate(poses):
+        vol_seq = fuse_frame(
+            vol_seq, geom, fr["color"], fr["depth"], fr["normals"],
+            fr["n_sq_inv"], sc["K"], jnp.asarray(pose), jnp.int32(fi + 30),
+            jnp.bool_(gates[fi]), **kw)
+
+    stack = lambda a: jnp.asarray(np.stack([np.asarray(a)] * KF))
+    vol_b, ov = fuse_frames_culled(
+        make_volume(geom, T, frame_cap=64), geom,
+        stack(fr["color"]), stack(fr["depth"]), stack(fr["normals"]),
+        stack(fr["n_sq_inv"]), sc["K"],
+        jnp.asarray(np.stack(poses)),
+        jnp.arange(30, 30 + KF, dtype=jnp.int32),
+        jnp.asarray(gates), **kw, row_capacity=ZY)
+    assert not bool(ov)
+    _assert_equal_vol(vol_b, vol_seq)
+
+    # undersized capacity -> overflow flagged
+    _, ov2 = fuse_frames_culled(
+        make_volume(geom, T, frame_cap=64), geom,
+        stack(fr["color"]), stack(fr["depth"]), stack(fr["normals"]),
+        stack(fr["n_sq_inv"]), sc["K"],
+        jnp.asarray(np.stack(poses)),
+        jnp.arange(30, 30 + KF, dtype=jnp.int32),
+        jnp.asarray(gates), **kw, row_capacity=64)
+    assert bool(ov2)
+
+    # ids spanning >2 words -> flagged (bits would be dropped)
+    _, ov3 = fuse_frames_culled(
+        make_volume(geom, T, frame_cap=64), geom,
+        stack(fr["color"]), stack(fr["depth"]), stack(fr["normals"]),
+        stack(fr["n_sq_inv"]), sc["K"],
+        jnp.asarray(np.stack(poses)),
+        jnp.asarray(np.array([0, 32, 64, 65, 66, 67][:KF], np.int32)),
+        jnp.asarray(gates), **kw, row_capacity=ZY)
+    assert bool(ov3)
