@@ -1,0 +1,387 @@
+"""Resident streaming volume: the chunk-compact state for the track+fuse loop.
+
+Round-3/4 finding (BASELINE.md "state-row movement", bench/insitu_probe.py):
+at 256^3/512^3 the dominant non-floor cost of per-frame culled fusion
+(core/volume.py, re-implementing /root/reference/cpp/include/sdf_tracker/
+VolumetricGradSdf.cpp:78-134) is moving the surviving state rows between
+the canonical [Z,Y,X,8] table and the kernel — ~91 ms of a 192 ms frame at
+512^3 — and no movement engine (XLA 2-D copies, Pallas row DMAs) beats
+~60 GB/s for indexed rows.  The K-frame batched kernel proved the fix:
+amortize the movement by KEEPING the state compact across frames
+(169.7 ms/frame at K=10 vs 192 sequential, pixel+update floor ~101 ms).
+
+This module makes that a streaming-capable state, with tracking between
+frames (the batched kernel is GT-pose only):
+
+  ResidentVolume
+    rows      [CAPR, S, 8] f32   compact payload rows (slot-major; slots
+                                 0..n_used-1 live, the rest free)
+    vis_rows  [Wc, CAPR, S] u32  bit-packed visibility for resident rows
+    row_slot  [NSEG] i32         slot of grid row r (CAPR = unresident)
+    slot_rows [CAPR] i32         grid row of slot s (NSEG = free)
+    n_used    scalar i32
+    fused_ever [NSEG] bool       rows that ever stored weight > 0 — the
+                                 tracker-exactness ledger (see below)
+    flags     scalar i32         sticky error bits (see FLAG_*)
+
+Within a chunk the membership grows monotonically: `resident_alloc` admits
+rows entering the cull's active set (gathering their canonical state — a
+static DELTA capacity, ~1-2% of rows per frame), `fuse_frame_resident`
+updates resident rows IN PLACE (the exact _fuse_voxel_update), and at
+chunk boundaries `resident_flush` scatters everything back to the
+canonical PackedVolume and `resident_refresh` restarts from the current
+pose's active set.  State movement per frame drops from 2x the full
+active set to the delta + (flush+refresh)/chunk_len.
+
+Tracking reads ONLY the compact rows (`track_frame_resident`): a pixel
+whose nearest voxel is unresident is treated as weight 0.  That is
+equivalent to the canonical tracker (same masks, same record values;
+cross-program float emission differs by ~ULP — tests/test_resident.py)
+unless the row both (a) stored weight from an earlier epoch and (b) left
+the resident set, which is what `fused_ever` detects: `miss_bad`
+(FLAG_TRACK_MISS) rises iff an excluded pixel's row is in the ledger, and
+the caller must redo the chunk on the canonical path.  The tracker moves
+the pose AWAY from the pose its rows were admitted at, so tracker-prep
+allocation passes motion margins (margin_px/margin_t) to pre-admit the
+rows the GN path may query; the flag is the correctness net behind the
+margins.
+
+All ops are jit-composable pure functions over the NamedTuple — the
+streaming executors carry the whole state inside one program (scalar
+outputs only; BASELINE.md "boundary-layout pathology").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from psgradientsdf_tpu.core.grid import GridGeometry
+from psgradientsdf_tpu.core.volume import (
+    PackedVolume,
+    _fuse_voxel_update,
+    _row_activity,
+    _row_world_coords,
+    pack_pixel_payload,
+)
+
+FLAG_CAPACITY = 1      # resident row capacity exhausted
+FLAG_DELTA = 2         # per-frame delta capacity exhausted
+FLAG_COVERAGE = 4      # fusion-active row was unresident at update time
+FLAG_TRACK_MISS = 8    # tracker excluded a fused-ever unresident row
+
+
+class ResidentVolume(NamedTuple):
+    rows: jax.Array        # [CAPR, S, 8] f32
+    vis_rows: jax.Array    # [Wc, CAPR, S] u32
+    row_slot: jax.Array    # [NSEG] i32 (CAPR = unresident)
+    slot_rows: jax.Array   # [CAPR] i32 (NSEG = free)
+    n_used: jax.Array      # scalar i32
+    fused_ever: jax.Array  # [NSEG] bool
+    flags: jax.Array       # scalar i32 sticky FLAG_* bits
+
+
+def _shapes(pvol: PackedVolume):
+    Wc, Z, Y, S = pvol.vis.shape
+    return Wc, Z * Y, S
+
+
+def resident_refresh(
+    pvol: PackedVolume,
+    geom: GridGeometry,
+    depth: jax.Array,
+    K: jax.Array,
+    pose: jax.Array,
+    *,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+    capacity: int,
+    margin_px: float = 0.0,
+    margin_t: float = 0.0,
+) -> ResidentVolume:
+    """Start a resident epoch: gather the rows active at `pose` from the
+    canonical volume.  `pvol` must be CURRENT (freshly flushed).  margins:
+    see resident_alloc."""
+    Wc, NSEG, S = _shapes(pvol)
+    act = _row_activity(geom, depth, K, pose, truncation=truncation,
+                        zmin=zmin, zmax=zmax, margin_px=margin_px,
+                        margin_t=margin_t).reshape(-1)
+    n_act = jnp.sum(act.astype(jnp.int32))
+    (ridx,) = jnp.nonzero(act, size=capacity, fill_value=NSEG)
+    ok = ridx < NSEG
+    safe = jnp.minimum(ridx, NSEG - 1)
+
+    canon2 = pvol.payload.reshape(NSEG, S * 8)
+    rows = jnp.take(canon2, safe, axis=0).reshape(capacity, S, 8)
+    vis_rows = jnp.take(pvol.vis.reshape(Wc, NSEG, S), safe, axis=1)
+    # free slots must not alias live rows' content semantics: they are
+    # ignored via slot_rows == NSEG, so duplicated gathers are harmless
+
+    slot_ids = jnp.arange(capacity, dtype=jnp.int32)
+    row_slot = jnp.full((NSEG,), capacity, jnp.int32).at[ridx].set(
+        jnp.where(ok, slot_ids, capacity), mode="drop")
+    slot_rows = jnp.where(ok, ridx, NSEG).astype(jnp.int32)
+    fused_ever = jnp.any(
+        pvol.payload.reshape(NSEG, S, 8)[..., 4] > 0.0, axis=-1)
+    flags = jnp.where(n_act > capacity, FLAG_CAPACITY, 0).astype(jnp.int32)
+    return ResidentVolume(
+        rows=rows, vis_rows=vis_rows, row_slot=row_slot,
+        slot_rows=slot_rows, n_used=jnp.minimum(n_act, capacity),
+        fused_ever=fused_ever, flags=flags,
+    )
+
+
+def resident_flush(res: ResidentVolume, pvol: PackedVolume) -> PackedVolume:
+    """Scatter the resident rows back into the canonical volume."""
+    Wc, NSEG, S = _shapes(pvol)
+    CAPR = res.rows.shape[0]
+    canon2 = pvol.payload.reshape(NSEG, S * 8)
+    new2 = canon2.at[res.slot_rows].set(
+        res.rows.reshape(CAPR, S * 8), mode="drop")
+    vis3 = pvol.vis.reshape(Wc, NSEG, S)
+    # scatter per word plane (Wc is tiny — 1-8 words)
+    new_vis = vis3.at[:, res.slot_rows].set(res.vis_rows, mode="drop")
+    return PackedVolume(payload=new2.reshape(pvol.payload.shape),
+                        vis=new_vis.reshape(pvol.vis.shape))
+
+
+def resident_alloc(
+    res: ResidentVolume,
+    pvol: PackedVolume,
+    geom: GridGeometry,
+    depth: jax.Array,
+    K: jax.Array,
+    pose: jax.Array,
+    *,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+    delta_capacity: int,
+    margin_px: float = 0.0,
+    margin_t: float = 0.0,
+) -> ResidentVolume:
+    """Admit rows newly active at `pose`, pulling their state from the
+    canonical volume (which is current for unresident rows — resident
+    rows' canonical copies are stale, but those are not gathered).
+
+    margin_px / margin_t inflate the cull (_row_activity) so the admitted
+    set also covers the rows a tracking solve may query while it moves
+    the pose away from `pose` — the tracker-prep allocation passes the
+    expected inter-frame motion here (reprojection pixels / camera-depth
+    meters); the fusion-prep allocation at the known tracked pose passes
+    zero."""
+    Wc, NSEG, S = _shapes(pvol)
+    CAPR = res.rows.shape[0]
+    act = _row_activity(geom, depth, K, pose, truncation=truncation,
+                        zmin=zmin, zmax=zmax, margin_px=margin_px,
+                        margin_t=margin_t).reshape(-1)
+    new_mask = act & (res.row_slot >= CAPR)
+    n_new = jnp.sum(new_mask.astype(jnp.int32))
+    (didx,) = jnp.nonzero(new_mask, size=delta_capacity, fill_value=NSEG)
+    d_ok = (didx < NSEG) & (jnp.arange(delta_capacity) < n_new)
+    slots_new = res.n_used + jnp.arange(delta_capacity, dtype=jnp.int32)
+    d_ok = d_ok & (slots_new < CAPR)
+    safe_d = jnp.minimum(didx, NSEG - 1)
+    write_slot = jnp.where(d_ok, slots_new, CAPR)      # CAPR drops
+
+    canon2 = pvol.payload.reshape(NSEG, S * 8)
+    rows_d = jnp.take(canon2, safe_d, axis=0).reshape(delta_capacity, S, 8)
+    vis_d = jnp.take(pvol.vis.reshape(Wc, NSEG, S), safe_d, axis=1)
+
+    rows = res.rows.reshape(CAPR, S * 8).at[write_slot].set(
+        rows_d.reshape(delta_capacity, S * 8), mode="drop"
+    ).reshape(CAPR, S, 8)
+    vis_rows = res.vis_rows.at[:, write_slot].set(vis_d, mode="drop")
+    row_slot = res.row_slot.at[didx].set(
+        jnp.where(d_ok, slots_new, res.row_slot[safe_d]), mode="drop")
+    slot_rows = res.slot_rows.at[write_slot].set(
+        jnp.where(d_ok, didx, NSEG), mode="drop")
+    n_adm = jnp.minimum(n_new, jnp.minimum(delta_capacity, CAPR - res.n_used))
+    flags = res.flags | jnp.where(
+        n_new > delta_capacity, FLAG_DELTA, 0
+    ) | jnp.where(res.n_used + n_new > CAPR, FLAG_CAPACITY, 0)
+    return res._replace(rows=rows, vis_rows=vis_rows, row_slot=row_slot,
+                        slot_rows=slot_rows, n_used=res.n_used + n_adm,
+                        flags=flags.astype(jnp.int32))
+
+
+def fuse_frame_resident(
+    res: ResidentVolume,
+    geom: GridGeometry,
+    color: jax.Array,
+    depth: jax.Array,
+    normals: jax.Array,
+    n_sq_inv: jax.Array,
+    K: jax.Array,
+    pose: jax.Array,
+    frame_idx: jax.Array,
+    gate: Optional[jax.Array] = None,
+    *,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+    cos_thresh_sq: float = 0.25 * 0.25,
+) -> ResidentVolume:
+    """One frame fused IN PLACE on the resident rows — the exact per-voxel
+    update (shared _fuse_voxel_update, bit-identical to fuse_frame on the
+    resident rows), gated per slot by this frame's level-1 cull.  An
+    active-but-unresident row raises FLAG_COVERAGE (the update would be
+    incomplete; the caller must redo on the canonical path)."""
+    X, Y, Zd = geom.dims
+    S = X
+    NSEG = Zd * Y
+    CAPR = res.rows.shape[0]
+    H, W = depth.shape
+
+    act = _row_activity(geom, depth, K, pose, truncation=truncation,
+                        zmin=zmin, zmax=zmax).reshape(-1)
+    if gate is not None:
+        act = act & gate
+    coverage_bad = jnp.any(act & (res.row_slot >= CAPR))
+
+    act_pad = jnp.concatenate([act, jnp.zeros((1,), act.dtype)])
+    slot_act = act_pad[jnp.minimum(res.slot_rows, NSEG)]   # [CAPR]
+    slot_live = res.slot_rows < NSEG
+    row_gate = (slot_act & slot_live)[:, None]
+
+    pixp = pack_pixel_payload(color, depth, normals, n_sq_inv)
+    safe_rows = jnp.minimum(res.slot_rows, NSEG - 1)
+    # voxel centers via the SHARED producer (_row_world_coords): an
+    # iota-based local formula here constant-folds with different rounding
+    # than the data-dependent arithmetic in the culled kernels, and 1-ULP
+    # p_w differences flip nearest-pixel rounding at pixel boundaries
+    # (~0.1% of voxels) — identical expression trees keep the programs
+    # agreeing to the bit on the projection.
+    p_w = _row_world_coords(geom, safe_rows, None, S, 1, CAPR)
+
+    word = frame_idx // 32
+    bit = (jnp.uint32(1) << jnp.uint32(frame_idx % 32))
+    rows = res.rows
+    nd, ng, nw, nc, vis_or = _fuse_voxel_update(
+        p_w, rows[..., 0], rows[..., 1:4], rows[..., 4], rows[..., 5:8],
+        pixp, K, pose, (H, W), bit, row_gate,
+        truncation=truncation, zmin=zmin, zmax=zmax,
+        cos_thresh_sq=cos_thresh_sq,
+    )
+    new_rows = jnp.concatenate([nd[..., None], ng, nw[..., None], nc],
+                               axis=-1)
+    vplane = jax.lax.dynamic_index_in_dim(res.vis_rows, word, axis=0,
+                                          keepdims=False)
+    vis_rows = jax.lax.dynamic_update_index_in_dim(
+        res.vis_rows, vplane | vis_or, word, axis=0)
+
+    # exact fused-ever ledger: rows whose update stored weight this frame
+    fused_now = jnp.any(vis_or != 0, axis=-1)              # [CAPR]
+    fe_pad = jnp.concatenate(
+        [res.fused_ever, jnp.zeros((1,), jnp.bool_)])
+    fused_ever = fe_pad.at[jnp.where(fused_now, res.slot_rows, NSEG)].set(
+        True, mode="drop")[:NSEG]
+
+    flags = res.flags | jnp.where(coverage_bad, FLAG_COVERAGE, 0)
+    return res._replace(rows=new_rows, vis_rows=vis_rows,
+                        fused_ever=fused_ever,
+                        flags=flags.astype(jnp.int32))
+
+
+def resident_records(
+    res: ResidentVolume, geom: GridGeometry, pts: jax.Array
+):
+    """Nearest-voxel tracking records from the COMPACT rows only:
+    (d, ghat, c_v, w, valid, miss_px).  Unresident rows read as weight 0;
+    miss_px marks pixels whose (valid, unresident) row is in the
+    fused_ever ledger — the result could then differ from the canonical
+    tracker (see module docstring); callers AND it with their own pixel
+    mask and reduce."""
+    X, Y = geom.dims[0], geom.dims[1]
+    S = X
+    NSEG = res.row_slot.shape[0]
+    CAPR = res.rows.shape[0]
+    idx, valid = geom.nearest_info(pts)
+    lin_row = idx[..., 2] * Y + idx[..., 1]
+    slot = res.row_slot[lin_row]
+    resident = slot < CAPR
+    cl = jnp.minimum(slot, CAPR - 1) * S + idx[..., 0]
+    rows = jnp.take(res.rows.reshape(CAPR * S, 8), cl, axis=0)
+    d = rows[..., 0]
+    g = rows[..., 1:4]
+    w = jnp.where(resident, rows[..., 4], 0.0)
+    gnorm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+    ghat = g / jnp.maximum(gnorm, 1e-12)
+    c_v = geom.voxel2world(idx)
+    miss_px = valid & ~resident & res.fused_ever[lin_row]
+    return d, ghat, c_v, w, valid, miss_px
+
+
+def track_frame_resident(
+    res: ResidentVolume,
+    geom: GridGeometry,
+    depth: jax.Array,
+    K: jax.Array,
+    init_pose: jax.Array,
+    *,
+    truncation: float,
+    zmin: float,
+    zmax: float,
+    num_iterations: int = 50,
+    conv_threshold_sq: float = 1e-6,
+    damping: float = 1.0,
+    stride: int = 1,
+    early_exit: bool = True,
+    regather_every: int = 1,
+):
+    """track_frame against the resident rows (tracking/tracker.py semantics;
+    compact-only reads).  Returns (TrackResult, miss_bad) — miss_bad is the
+    OR over every gather round's exactness flag."""
+    from psgradientsdf_tpu.tracking.tracker import TrackResult, run_gn_rounds
+
+    if stride > 1:
+        depth = depth[::stride, ::stride]
+    H_img, W_img = depth.shape
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    cols = (jnp.arange(W_img, dtype=jnp.float32) * stride)[None, :]
+    rows_px = (jnp.arange(H_img, dtype=jnp.float32) * stride)[:, None]
+    x0 = (cols - cx) / fx
+    y0 = (rows_px - cy) / fy
+    z = depth
+    pts_cam = jnp.stack(
+        [jnp.broadcast_to(x0, z.shape) * z,
+         jnp.broadcast_to(y0, z.shape) * z, z], axis=-1).reshape(-1, 3)
+    valid_z = ((z > zmin) & (z < zmax)).reshape(-1)
+
+    def gather_records(pose):
+        R = pose[:3, :3]
+        t = pose[:3, 3]
+        p_w = pts_cam @ R.T + t
+        d, ghat, c_v, w, valid, miss_px = resident_records(res, geom, p_w)
+        ok = valid & (w > 0.0) & valid_z
+        return (d, ghat, c_v, ok), jnp.any(miss_px & valid_z)
+
+    def masked_gram(pose, rec):
+        d, ghat, c_v, ok = rec
+        R = pose[:3, :3]
+        t = pose[:3, 3]
+        p_w = pts_cam @ R.T + t
+        psi = d + jnp.sum(ghat * (c_v - p_w), axis=-1)
+        mf = ok.astype(psi.dtype)
+        G = jnp.concatenate(
+            [ghat, jnp.cross(p_w, ghat), psi[:, None],
+             jnp.ones_like(psi)[:, None]], axis=-1) * mf[:, None]
+        S_ = G.T @ G
+        return S_[6, 6], S_[:6, 6], S_[:6, :6], S_[7, 7]
+
+    pose, conv, fail, E_mean, count, iters, miss = run_gn_rounds(
+        geom, gather_records, masked_gram, init_pose,
+        num_iterations=num_iterations, conv_threshold_sq=conv_threshold_sq,
+        damping=damping, regather_every=regather_every,
+        early_exit=early_exit, records_flagged=True,
+    )
+    return (
+        TrackResult(pose=pose, converged=conv & (~fail), iterations=iters,
+                    energy=E_mean, num_valid=count),
+        miss,
+    )

@@ -261,6 +261,8 @@ def _row_activity(
     z0: Optional[jax.Array] = None,   # slab z-offset (sharded slabs)
     z_rows: Optional[int] = None,     # slab z extent (default: whole grid)
     seg_x: Optional[int] = None,      # X-segment length (None = whole row)
+    margin_px: float = 0.0,           # extra pixel margin on the image test
+    margin_t: float = 0.0,            # extra meters on the carve/behind tests
 ) -> jax.Array:
     """Level-1 cull of fuse_frame_culled: conservative activity mask at
     X-row granularity ([z_rows, Y], seg_x=None) or X-SEGMENT granularity
@@ -270,7 +272,15 @@ def _row_activity(
     culling cuts the level-2 gather index count a further 25% at 256^3 /
     41% at 512^3 on the bench scene (long rows only graze the frustum or
     the truncation band).  With (z0, z_rows) the mask covers a Z-slab —
-    the per-shard form used under shard_map."""
+    the per-shard form used under shard_map.
+
+    margin_px / margin_t inflate the image-footprint and depth-band tests
+    so the mask stays a superset of the active set under pose motion
+    bounded by ~(margin_px pixels of reprojection, margin_t meters of
+    camera-depth change) — the resident allocator (core/resident.py) uses
+    this to pre-admit the rows a tracking solve may query while it moves
+    the pose away from its seed.  Zero margins reproduce the historical
+    exact-frame cull."""
     H, W = depth.shape
     X, Y, Zd = geom.dims
     if z_rows is None:
@@ -304,7 +314,7 @@ def _row_activity(
     p1 = endpoint_cam(sx + (S - 1))
     pz0, pz1 = p0[..., 2], p1[..., 2]
     eps_z = 1e-5 * (jnp.abs(pz0) + jnp.abs(pz1)) + 1e-6
-    both_behind = (pz0 <= eps_z) & (pz1 <= eps_z)
+    both_behind = (pz0 <= eps_z - margin_t) & (pz1 <= eps_z - margin_t)
     both_front = (pz0 > eps_z) & (pz1 > eps_z)
     mixed = ~both_behind & ~both_front
 
@@ -314,8 +324,8 @@ def _row_activity(
     u1 = cx + fx * p1[..., 0] / sz1
     v0 = cy + fy * p0[..., 1] / sz0
     v1 = cy + fy * p1[..., 1] / sz1
-    mu = 0.01 + 1e-5 * (jnp.abs(u0) + jnp.abs(u1))
-    mv_ = 0.01 + 1e-5 * (jnp.abs(v0) + jnp.abs(v1))
+    mu = 0.01 + 1e-5 * (jnp.abs(u0) + jnp.abs(u1)) + margin_px
+    mv_ = 0.01 + 1e-5 * (jnp.abs(v0) + jnp.abs(v1)) + margin_px
     u_min = jnp.minimum(u0, u1) - mu
     u_max = jnp.maximum(u0, u1) + mu
     v_min = jnp.minimum(v0, v1) - mv_
@@ -350,7 +360,7 @@ def _row_activity(
     z_fp_max = jnp.where(mixed, jnp.max(row_max), z_fp_max)
 
     pz_min = jnp.minimum(pz0, pz1) - eps_z
-    carve_ok = pz_min - truncation <= z_fp_max            # -inf -> cull
+    carve_ok = pz_min - truncation - margin_t <= z_fp_max  # -inf -> cull
 
     act = ~both_behind & (img_possible | mixed) & carve_ok
     if seg_x is None:

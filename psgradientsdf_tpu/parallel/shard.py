@@ -239,7 +239,7 @@ def sharded_tracker_fn(
             S = jax.lax.psum(S, Z_AXIS)
             return S[6, 6], S[:6, 6], S[:6, :6], S[7, 7]
 
-        pose, conv, fail, E_mean, cnt, iters = run_gn_rounds(
+        pose, conv, fail, E_mean, cnt, iters, _ = run_gn_rounds(
             geom, gather_records, masked_gram, init_pose,
             num_iterations=num_iterations,
             conv_threshold_sq=conv_threshold_sq, damping=damping,

@@ -84,6 +84,7 @@ def run_gn_rounds(
     damping: float,
     regather_every: int = 1,
     early_exit: bool = True,
+    records_flagged: bool = False,
 ):
     """The frozen-correspondence GN driver shared by the single-device and
     sharded trackers (identical step semantics — the sharded tracker differs
@@ -92,7 +93,11 @@ def run_gn_rounds(
     gather_records(pose) -> rec (opaque pytree of frozen correspondences);
     masked_gram(pose, rec) -> (E, g[6], H[6,6], count).
 
-    Returns (pose, converged, failed, E_mean, count, iters).  See
+    With records_flagged=True, gather_records returns (rec, flag) and the
+    driver ORs every round's flag into the returned `flag` (the resident
+    tracker's exactness bit, core/resident.py).
+
+    Returns (pose, converged, failed, E_mean, count, iters, flag).  See
     track_frame for the semantics of rounds / freshness / trust region.
     """
     # GN step: updates are MASKED once converged/failed/out-of-budget (pose
@@ -153,12 +158,16 @@ def run_gn_rounds(
 
     def round_body(carry):
         """One gather + `regather_every` frozen GN steps."""
-        rec = gather_records(carry[0])
-        carry = gn_step(carry, rec, fresh=True)
+        if records_flagged:
+            rec, rflag = gather_records(carry[0])
+        else:
+            rec, rflag = gather_records(carry[0]), jnp.bool_(False)
+        flag = carry[7] | rflag
+        carry = gn_step(carry[:7], rec, fresh=True)
         for _ in range(regather_every - 1):
             carry = gn_step(carry, rec, fresh=False)
         # clear the round-local stall flag
-        return carry[:3] + (jnp.bool_(False),) + carry[4:]
+        return carry[:3] + (jnp.bool_(False),) + carry[4:] + (flag,)
 
     init = (
         init_pose,
@@ -168,9 +177,10 @@ def run_gn_rounds(
         jnp.float32(0.0),
         jnp.int32(0),
         jnp.int32(0),
+        jnp.bool_(False),   # records flag accumulator
     )
     if early_exit:
-        pose, conv, fail, _, E_mean, count, iters = jax.lax.while_loop(
+        pose, conv, fail, _, E_mean, count, iters, flag = jax.lax.while_loop(
             lambda c: (c[6] < num_iterations) & (~c[1]) & (~c[2]),
             round_body,
             init,
@@ -184,10 +194,10 @@ def run_gn_rounds(
         # runtimes (measured ~2.4 ms/trip on the axon tunnel), static
         # programs pipeline freely
         n_rounds = -(-num_iterations // regather_every)
-        pose, conv, fail, _, E_mean, count, iters = jax.lax.fori_loop(
+        pose, conv, fail, _, E_mean, count, iters, flag = jax.lax.fori_loop(
             0, n_rounds, lambda k, c: round_body(c), init, unroll=True
         )
-    return pose, conv, fail, E_mean, count, iters
+    return pose, conv, fail, E_mean, count, iters, flag
 
 
 @functools.partial(
@@ -290,7 +300,7 @@ def track_frame(
         S = G.T @ G
         return S[6, 6], S[:6, 6], S[:6, :6], S[7, 7]
 
-    pose, conv, fail, E_mean, count, iters = run_gn_rounds(
+    pose, conv, fail, E_mean, count, iters, _ = run_gn_rounds(
         geom, gather_records, masked_gram, init_pose,
         num_iterations=num_iterations, conv_threshold_sq=conv_threshold_sq,
         damping=damping, regather_every=regather_every, early_exit=early_exit,
