@@ -14,8 +14,10 @@ This module makes that a streaming-capable state, with tracking between
 frames (the batched kernel is GT-pose only):
 
   ResidentVolume
-    rows      [CAPR, S, 8] f32   compact payload rows (slot-major; slots
-                                 0..n_used-1 live, the rest free)
+    rows      [CAPR, S*8] f32    compact payload rows (slot-major; slots
+                                 0..n_used-1 live, the rest free; 2-D so
+                                 the loop carry avoids minor-dim-8 tile
+                                 padding — see the class docstring)
     vis_rows  [Wc, CAPR, S] u32  bit-packed visibility for resident rows
     row_slot  [NSEG] i32         slot of grid row r (CAPR = unresident)
     slot_rows [CAPR] i32         grid row of slot s (NSEG = free)
@@ -68,6 +70,16 @@ from psgradientsdf_tpu.core.volume import (
     pack_pixel_payload,
 )
 
+# Segment granularity (seg_x): the resident slot unit can be an S-voxel
+# X-SEGMENT instead of a whole X-row.  The non-resident seg_x experiment
+# lost (BASELINE.md "X-segment culling: measured and rejected") because its
+# per-FRAME state gather paid per-row overhead on shorter rows; here the
+# state is resident — the per-frame costs are the pixel-payload gather and
+# the elementwise update, both proportional to the resident VOXEL count —
+# so the segment cull's 25-41% index cut (256^3/512^3) is pure win.  The
+# slot length S is carried in rows.shape[1]; only resident_refresh takes
+# seg_x explicitly (it creates the state).
+
 FLAG_CAPACITY = 1      # resident row capacity exhausted
 FLAG_DELTA = 2         # per-frame delta capacity exhausted
 FLAG_COVERAGE = 4      # fusion-active row was unresident at update time
@@ -75,7 +87,12 @@ FLAG_TRACK_MISS = 8    # tracker excluded a fused-ever unresident row
 
 
 class ResidentVolume(NamedTuple):
-    rows: jax.Array        # [CAPR, S, 8] f32
+    # rows is carried 2-D [CAPR, S*8] (not [CAPR, S, 8]): loop carries
+    # materialize in a real layout, and a trailing dim of 8 tile-pads
+    # 16x under T(8,128) — a 19 GB carry at 512^3.  The 3-D view is a
+    # contiguous reshape taken transiently inside the update, where XLA
+    # fuses it (same pattern as fuse_frame_culled_packed's gathered rows).
+    rows: jax.Array        # [CAPR, S*8] f32
     vis_rows: jax.Array    # [Wc, CAPR, S] u32
     row_slot: jax.Array    # [NSEG] i32 (CAPR = unresident)
     slot_rows: jax.Array   # [CAPR] i32 (NSEG = free)
@@ -84,9 +101,64 @@ class ResidentVolume(NamedTuple):
     flags: jax.Array       # scalar i32 sticky FLAG_* bits
 
 
-def _shapes(pvol: PackedVolume):
-    Wc, Z, Y, S = pvol.vis.shape
-    return Wc, Z * Y, S
+def _shapes(pvol: PackedVolume, seg_x: Optional[int] = None):
+    """(vis words, slot count, slot length) at the chosen granularity.
+
+    Accepts the canonical 4-D PackedVolume OR a pre-reshaped streaming
+    state (payload [NSEG, S*8], vis [Wc, NSEG, S]).  The streaming
+    executors pre-reshape ONCE outside the hot loops: carrying the 4-D
+    canonical shape through a fori_loop makes every 2-D view a
+    non-tile-trivial reshape, and XLA materializes full payload copies
+    per chunk (2x 4 GB at 512^3 — measured round 4)."""
+    if pvol.vis.ndim == 3:
+        Wc, NSEG, S = pvol.vis.shape
+        assert seg_x is None or seg_x == S, (seg_x, S)
+        assert pvol.payload.shape == (NSEG, S * 8), pvol.payload.shape
+        return Wc, NSEG, S
+    Wc, Z, Y, X = pvol.vis.shape
+    S = X if seg_x is None else seg_x
+    assert X % S == 0, f"seg_x={S} must divide X={X}"
+    return Wc, Z * Y * (X // S), S
+
+
+def to_streaming(pvol: PackedVolume, seg_x: Optional[int] = None
+                 ) -> PackedVolume:
+    """Reshape the canonical 4-D state to the slot-granularity streaming
+    shapes (payload [NSEG, S*8], vis [Wc, NSEG, S]) — do this once,
+    OUTSIDE the streaming program's loops (see _shapes)."""
+    Wc, NSEG, S = _shapes(pvol, seg_x)
+    return PackedVolume(payload=pvol.payload.reshape(NSEG, S * 8),
+                        vis=pvol.vis.reshape(Wc, NSEG, S))
+
+
+def from_streaming(pvol: PackedVolume, dims) -> PackedVolume:
+    """Inverse of to_streaming: back to the canonical [Z,Y,X,8]/[Wc,Z,Y,X]."""
+    X, Y, Z = dims
+    Wc = pvol.vis.shape[0]
+    return PackedVolume(payload=pvol.payload.reshape(Z, Y, X, 8),
+                        vis=pvol.vis.reshape(Wc, Z, Y, X))
+
+
+def _act_flat(geom, depth, K, pose, *, truncation, zmin, zmax, S,
+              margin_px=0.0, margin_t=0.0):
+    """Flattened slot-granularity activity mask ([NSEG] at slot length S)."""
+    seg = None if S == geom.dims[0] else S
+    return _row_activity(geom, depth, K, pose, truncation=truncation,
+                         zmin=zmin, zmax=zmax, seg_x=seg,
+                         margin_px=margin_px, margin_t=margin_t).reshape(-1)
+
+
+def fused_ever_from_vis(pvol: PackedVolume, seg_x: Optional[int] = None
+                        ) -> jax.Array:
+    """[NSEG] bool: slots that ever stored fusion weight, derived from the
+    visibility words — _fuse_voxel_update sets a vis bit exactly when it
+    adds weight (same mask), so any-bit-set <=> weight ever stored.  Reads
+    only the u32 vis table: computing this from payload[..., 4] forces XLA
+    to materialize the full payload in an unpacked minor-dim-8 layout
+    (16x tile padding = 64 GB at 512^3 — the round-4 compile OOM)."""
+    Wc, NSEG, S = _shapes(pvol, seg_x)
+    v = pvol.vis.reshape(Wc, NSEG, S)
+    return jnp.any(jnp.any(v != 0, axis=0), axis=-1)
 
 
 def resident_refresh(
@@ -100,23 +172,24 @@ def resident_refresh(
     zmin: float,
     zmax: float,
     capacity: int,
+    seg_x: Optional[int] = None,
     margin_px: float = 0.0,
     margin_t: float = 0.0,
 ) -> ResidentVolume:
-    """Start a resident epoch: gather the rows active at `pose` from the
-    canonical volume.  `pvol` must be CURRENT (freshly flushed).  margins:
-    see resident_alloc."""
-    Wc, NSEG, S = _shapes(pvol)
-    act = _row_activity(geom, depth, K, pose, truncation=truncation,
-                        zmin=zmin, zmax=zmax, margin_px=margin_px,
-                        margin_t=margin_t).reshape(-1)
+    """Start a resident epoch: gather the rows (or S-voxel X-segments, with
+    seg_x) active at `pose` from the canonical volume.  `pvol` must be
+    CURRENT (freshly flushed).  margins: see resident_alloc."""
+    Wc, NSEG, S = _shapes(pvol, seg_x)
+    act = _act_flat(geom, depth, K, pose, truncation=truncation,
+                    zmin=zmin, zmax=zmax, S=S, margin_px=margin_px,
+                    margin_t=margin_t)
     n_act = jnp.sum(act.astype(jnp.int32))
     (ridx,) = jnp.nonzero(act, size=capacity, fill_value=NSEG)
     ok = ridx < NSEG
     safe = jnp.minimum(ridx, NSEG - 1)
 
     canon2 = pvol.payload.reshape(NSEG, S * 8)
-    rows = jnp.take(canon2, safe, axis=0).reshape(capacity, S, 8)
+    rows = jnp.take(canon2, safe, axis=0)
     vis_rows = jnp.take(pvol.vis.reshape(Wc, NSEG, S), safe, axis=1)
     # free slots must not alias live rows' content semantics: they are
     # ignored via slot_rows == NSEG, so duplicated gathers are harmless
@@ -125,8 +198,7 @@ def resident_refresh(
     row_slot = jnp.full((NSEG,), capacity, jnp.int32).at[ridx].set(
         jnp.where(ok, slot_ids, capacity), mode="drop")
     slot_rows = jnp.where(ok, ridx, NSEG).astype(jnp.int32)
-    fused_ever = jnp.any(
-        pvol.payload.reshape(NSEG, S, 8)[..., 4] > 0.0, axis=-1)
+    fused_ever = fused_ever_from_vis(pvol, seg_x)
     flags = jnp.where(n_act > capacity, FLAG_CAPACITY, 0).astype(jnp.int32)
     return ResidentVolume(
         rows=rows, vis_rows=vis_rows, row_slot=row_slot,
@@ -137,11 +209,11 @@ def resident_refresh(
 
 def resident_flush(res: ResidentVolume, pvol: PackedVolume) -> PackedVolume:
     """Scatter the resident rows back into the canonical volume."""
-    Wc, NSEG, S = _shapes(pvol)
-    CAPR = res.rows.shape[0]
+    Wc = pvol.vis.shape[0]
+    CAPR, S = res.rows.shape[0], res.rows.shape[1] // 8
+    NSEG = res.row_slot.shape[0]
     canon2 = pvol.payload.reshape(NSEG, S * 8)
-    new2 = canon2.at[res.slot_rows].set(
-        res.rows.reshape(CAPR, S * 8), mode="drop")
+    new2 = canon2.at[res.slot_rows].set(res.rows, mode="drop")
     vis3 = pvol.vis.reshape(Wc, NSEG, S)
     # scatter per word plane (Wc is tiny — 1-8 words)
     new_vis = vis3.at[:, res.slot_rows].set(res.vis_rows, mode="drop")
@@ -174,11 +246,12 @@ def resident_alloc(
     expected inter-frame motion here (reprojection pixels / camera-depth
     meters); the fusion-prep allocation at the known tracked pose passes
     zero."""
-    Wc, NSEG, S = _shapes(pvol)
-    CAPR = res.rows.shape[0]
-    act = _row_activity(geom, depth, K, pose, truncation=truncation,
-                        zmin=zmin, zmax=zmax, margin_px=margin_px,
-                        margin_t=margin_t).reshape(-1)
+    Wc = pvol.vis.shape[0]
+    CAPR, S = res.rows.shape[0], res.rows.shape[1] // 8
+    NSEG = res.row_slot.shape[0]
+    act = _act_flat(geom, depth, K, pose, truncation=truncation,
+                    zmin=zmin, zmax=zmax, S=S, margin_px=margin_px,
+                    margin_t=margin_t)
     new_mask = act & (res.row_slot >= CAPR)
     n_new = jnp.sum(new_mask.astype(jnp.int32))
     (didx,) = jnp.nonzero(new_mask, size=delta_capacity, fill_value=NSEG)
@@ -189,12 +262,10 @@ def resident_alloc(
     write_slot = jnp.where(d_ok, slots_new, CAPR)      # CAPR drops
 
     canon2 = pvol.payload.reshape(NSEG, S * 8)
-    rows_d = jnp.take(canon2, safe_d, axis=0).reshape(delta_capacity, S, 8)
+    rows_d = jnp.take(canon2, safe_d, axis=0)
     vis_d = jnp.take(pvol.vis.reshape(Wc, NSEG, S), safe_d, axis=1)
 
-    rows = res.rows.reshape(CAPR, S * 8).at[write_slot].set(
-        rows_d.reshape(delta_capacity, S * 8), mode="drop"
-    ).reshape(CAPR, S, 8)
+    rows = res.rows.at[write_slot].set(rows_d, mode="drop")
     vis_rows = res.vis_rows.at[:, write_slot].set(vis_d, mode="drop")
     row_slot = res.row_slot.at[didx].set(
         jnp.where(d_ok, slots_new, res.row_slot[safe_d]), mode="drop")
@@ -232,13 +303,13 @@ def fuse_frame_resident(
     active-but-unresident row raises FLAG_COVERAGE (the update would be
     incomplete; the caller must redo on the canonical path)."""
     X, Y, Zd = geom.dims
-    S = X
-    NSEG = Zd * Y
-    CAPR = res.rows.shape[0]
+    CAPR, S = res.rows.shape[0], res.rows.shape[1] // 8
+    NS = X // S
+    NSEG = res.row_slot.shape[0]
     H, W = depth.shape
 
-    act = _row_activity(geom, depth, K, pose, truncation=truncation,
-                        zmin=zmin, zmax=zmax).reshape(-1)
+    act = _act_flat(geom, depth, K, pose, truncation=truncation,
+                    zmin=zmin, zmax=zmax, S=S)
     if gate is not None:
         act = act & gate
     coverage_bad = jnp.any(act & (res.row_slot >= CAPR))
@@ -256,11 +327,11 @@ def fuse_frame_resident(
     # p_w differences flip nearest-pixel rounding at pixel boundaries
     # (~0.1% of voxels) — identical expression trees keep the programs
     # agreeing to the bit on the projection.
-    p_w = _row_world_coords(geom, safe_rows, None, S, 1, CAPR)
+    p_w = _row_world_coords(geom, safe_rows, None, S, NS, CAPR)
 
     word = frame_idx // 32
     bit = (jnp.uint32(1) << jnp.uint32(frame_idx % 32))
-    rows = res.rows
+    rows = res.rows.reshape(CAPR, S, 8)   # transient 3-D view (see rows doc)
     nd, ng, nw, nc, vis_or = _fuse_voxel_update(
         p_w, rows[..., 0], rows[..., 1:4], rows[..., 4], rows[..., 5:8],
         pixp, K, pose, (H, W), bit, row_gate,
@@ -268,7 +339,7 @@ def fuse_frame_resident(
         cos_thresh_sq=cos_thresh_sq,
     )
     new_rows = jnp.concatenate([nd[..., None], ng, nw[..., None], nc],
-                               axis=-1)
+                               axis=-1).reshape(CAPR, S * 8)
     vplane = jax.lax.dynamic_index_in_dim(res.vis_rows, word, axis=0,
                                           keepdims=False)
     vis_rows = jax.lax.dynamic_update_index_in_dim(
@@ -297,18 +368,27 @@ def resident_records(
     tracker (see module docstring); callers AND it with their own pixel
     mask and reduce."""
     X, Y = geom.dims[0], geom.dims[1]
-    S = X
+    CAPR, S = res.rows.shape[0], res.rows.shape[1] // 8
+    NS = X // S
     NSEG = res.row_slot.shape[0]
-    CAPR = res.rows.shape[0]
     idx, valid = geom.nearest_info(pts)
-    lin_row = idx[..., 2] * Y + idx[..., 1]
+    lin_row = (idx[..., 2] * Y + idx[..., 1]) * NS + idx[..., 0] // S
     slot = res.row_slot[lin_row]
     resident = slot < CAPR
-    cl = jnp.minimum(slot, CAPR - 1) * S + idx[..., 0]
-    rows = jnp.take(res.rows.reshape(CAPR * S, 8), cl, axis=0)
-    d = rows[..., 0]
-    g = rows[..., 1:4]
-    w = jnp.where(resident, rows[..., 4], 0.0)
+    cl = jnp.minimum(slot, CAPR - 1) * S + idx[..., 0] % S
+    # transposed-table gather: a [CAPR*S, 8] reshape of the 2-D carry is
+    # not tile-trivial, and XLA materializes it minor-dim-8 padded (16x =
+    # 15.7 GB at 512^3 — round-4 compile OOM).  The [8, V] transpose is
+    # unpadded (minor dim V), costs one HBM-rate copy per gather round,
+    # and its column gather IS the fast transposed-gather pattern.
+    rowsT = res.rows.reshape(CAPR, S, 8).transpose(2, 0, 1).reshape(
+        8, CAPR * S)
+    recs = jnp.take(rowsT, cl.reshape(-1), axis=1)       # [8, Npts]
+    lead = cl.shape
+    d = recs[0].reshape(lead)
+    g = jnp.stack([recs[1].reshape(lead), recs[2].reshape(lead),
+                   recs[3].reshape(lead)], axis=-1)
+    w = jnp.where(resident, recs[4].reshape(lead), 0.0)
     gnorm = jnp.linalg.norm(g, axis=-1, keepdims=True)
     ghat = g / jnp.maximum(gnorm, 1e-12)
     c_v = geom.voxel2world(idx)

@@ -52,19 +52,21 @@ def sc():
     return wavy_scene(dim=32, h=0.04, H=48, W=64, f=50.0)
 
 
-def test_resident_fusion_bit_identical_fixed_poses(sc):
+@pytest.mark.parametrize("seg", [None, 8])
+def test_resident_fusion_bit_identical_fixed_poses(sc, seg):
     """Fusion-only resident stream at GIVEN poses == the packed canonical
     kernel: vis bits EXACT (the per-voxel gates read only frame data, not
     state), float fields to ~1 ULP (cross-program FMA emission — the same
     caveat as test_fuse_culled._assert_close_vol).  Exercises refresh,
     mid-chunk delta allocation (the orbit moves the active set), flush,
-    and a second chunk epoch."""
+    and a second chunk epoch; seg=8 runs the slots at X-SEGMENT
+    granularity (the production at-scale configuration)."""
     from psgradientsdf_tpu.core.volume import fuse_frame_culled_packed
 
     geom, T = sc["geom"], sc["truncation"]
     fr = sc["frames"][0]
     kw = dict(truncation=T, zmin=0.1, zmax=5.0)
-    NSEG = geom.dims[2] * geom.dims[1]
+    NSEG = geom.dims[2] * geom.dims[1] * (geom.dims[0] // (seg or geom.dims[0]))
     poses = _orbit_poses(6, scale=0.04)
     Kj = sc["K"]
     args = (fr["color"], fr["depth"], fr["normals"], fr["n_sq_inv"], Kj)
@@ -78,14 +80,14 @@ def test_resident_fusion_bit_identical_fixed_poses(sc):
     for fi, pose in enumerate(poses):
         pvol_ref, ov = fuse_frame_culled_packed(
             pvol_ref, geom, *args, jnp.asarray(pose), jnp.int32(fi + 1),
-            **kw, row_capacity=NSEG)
+            **kw, row_capacity=geom.dims[2] * geom.dims[1])
         assert not bool(ov)
 
     fi = 0
     for chunk in range(2):
         res = R.resident_refresh(pvol, geom, fr["depth"], Kj,
                                  jnp.asarray(poses[fi]), **kw,
-                                 capacity=NSEG)
+                                 capacity=NSEG, seg_x=seg)
         for _ in range(3):
             pj = jnp.asarray(poses[fi])
             res = R.resident_alloc(res, pvol, geom, fr["depth"], Kj, pj,
@@ -143,10 +145,12 @@ def test_resident_tracker_matches_canonical_same_state(sc):
                                rtol=0, atol=1e-6)
 
 
-def test_resident_tracked_stream_close(sc):
+@pytest.mark.parametrize("seg", [None, 8])
+def test_resident_tracked_stream_close(sc, seg):
     """Full tracked resident stream (2 chunks x 3 frames) vs the packed
     canonical stream: per-frame float noise amplifies through the
-    track->fuse feedback, so the contract is closeness, not bits."""
+    track->fuse feedback, so the contract is closeness, not bits.
+    seg=8 runs the slots at X-segment granularity."""
     from psgradientsdf_tpu.core.volume import fuse_frame_culled_packed
 
     geom, T = sc["geom"], sc["truncation"]
@@ -154,7 +158,7 @@ def test_resident_tracked_stream_close(sc):
     kw = dict(truncation=T, zmin=0.1, zmax=5.0)
     tkw = dict(**kw, num_iterations=8, conv_threshold_sq=1e-6, damping=1.0,
                early_exit=False, regather_every=4)
-    NSEG = geom.dims[2] * geom.dims[1]
+    NSEG = geom.dims[2] * geom.dims[1] * (geom.dims[0] // (seg or geom.dims[0]))
     poses = _orbit_poses(6)
     Kj = sc["K"]
     args = (fr["color"], fr["depth"], fr["normals"], fr["n_sq_inv"], Kj)
@@ -182,7 +186,7 @@ def test_resident_tracked_stream_close(sc):
     fi = 0
     for chunk in range(2):
         res = R.resident_refresh(pvol, geom, fr["depth"], Kj, pose, **kw,
-                                 capacity=NSEG)
+                                 capacity=NSEG, seg_x=seg)
         for _ in range(3):
             seed = jnp.asarray(poses[fi]) @ pose
             res = R.resident_alloc(res, pvol, geom, fr["depth"], Kj, seed,
