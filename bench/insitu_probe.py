@@ -35,6 +35,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 DIM = int(os.environ.get("PSGSDF_BENCH_DIM", "512"))
 W, H = 640, 480
 KB = 10   # batched-kernel frame count
+# PSGSDF_PROBE_ONLY: comma list of variant names to run (substring match);
+# PSGSDF_PROBE_SEG: X-segment granularity for the soa/packed kernels
+ONLY = os.environ.get("PSGSDF_PROBE_ONLY", "")
+SEG = int(os.environ.get("PSGSDF_PROBE_SEG", "0")) or None
+
+
+def _want(name):
+    return not ONLY or any(t in name for t in ONLY.split(","))
 
 
 def log(*a):
@@ -71,16 +79,20 @@ def main():
     color = jnp.asarray(color_np)
     eye = jnp.asarray(np.eye(4, dtype=np.float32))
 
-    n_act = int(V.count_active_rows(geom, depth, K, eye, **fuse_kw))
-    ZY = DIM * DIM
-    CAP = min(ZY, -(-int(n_act * 21 // 20) // 512) * 512)
-    log(f"[insitu] active rows {n_act}/{ZY} -> CAP={CAP} "
-        f"({CAP*DIM/1e6:.2f}M idx)")
+    S_SEG = SEG or DIM
+    n_act = int(V.count_active_rows(geom, depth, K, eye, **fuse_kw,
+                                    seg_x=SEG))
+    NSEGS = DIM * DIM * (DIM // S_SEG)
+    CAP = min(NSEGS, -(-int(n_act * 21 // 20) // 512) * 512)
+    log(f"[insitu] seg={SEG}: active {n_act}/{NSEGS} -> CAP={CAP} "
+        f"({CAP*S_SEG/1e6:.2f}M idx)")
 
+    CAP_ROW = min(DIM * DIM, -(-int(int(V.count_active_rows(
+        geom, depth, K, eye, **fuse_kw)) * 21 // 20) // 512) * 512)
     vol = V.make_volume(geom, T, frame_cap=64)
     vol, ov = V.fuse_frame_culled(
         vol, geom, color, depth, normals, nsq, K, eye, jnp.int32(0),
-        **fuse_kw, row_capacity=CAP)
+        **fuse_kw, row_capacity=CAP_ROW)
     assert not bool(ov)
     _ = float(jnp.sum(vol.dist))
     log("[insitu] map built; first dispatch done")
@@ -93,6 +105,8 @@ def main():
         return jnp.int32(seed_c[0])
 
     def marginal(name, make_chain, n1=3, n2=9, frames_per_iter=1):
+        if not _want(name):
+            return
         try:
             f1, f2 = make_chain(n1), make_chain(n2)
             _ = float(f1(seed()))
@@ -108,7 +122,7 @@ def main():
             per_frame = best / frames_per_iter
             results[name] = per_frame
             log(f"[insitu] {name}: {per_frame*1e3:.2f} ms/frame "
-                f"({per_frame*1e9/(CAP*DIM):.2f} ns/idx)")
+                f"({per_frame*1e9/(CAP*S_SEG):.2f} ns/idx)")
         except Exception as e:
             results[name] = None
             log(f"[insitu] {name}: FAILED {type(e).__name__}: {e}")
@@ -127,7 +141,8 @@ def main():
                     vol, ov = V.fuse_frame_culled(
                         vol, geom, color, depth, normals, nsq, K,
                         jit_pose(k, s), jnp.int32(1) + (k + s) % 60,
-                        **fuse_kw, row_capacity=CAP, rows_impl=impl)
+                        **fuse_kw, row_capacity=CAP, rows_impl=impl,
+                        seg_x=SEG)
                     return vol, ovf | ov
                 vol, ovf = jax.lax.fori_loop(0, n, body, (vol, jnp.bool_(False)))
                 return jnp.sum(vol.dist) + jnp.float32(ovf)
@@ -175,7 +190,8 @@ def main():
                     pv, ov = V.fuse_frame_culled_packed(
                         pv, geom, color, depth, normals, nsq, K,
                         jit_pose(k, s), jnp.int32(1) + (k + s) % 60,
-                        **fuse_kw, row_capacity=CAP, rows_impl=impl)
+                        **fuse_kw, row_capacity=CAP, rows_impl=impl,
+                        seg_x=SEG)
                     return pv, ovf | ov
                 pv, ovf = jax.lax.fori_loop(0, n, body, (pv, jnp.bool_(False)))
                 return jnp.sum(pv.payload[0]) + jnp.float32(ovf)
@@ -184,7 +200,7 @@ def main():
         marginal(f"packed_{impl}", pchain)
 
     print(json.dumps({
-        "dim": DIM, "cap": CAP, "idx": CAP * DIM,
+        "dim": DIM, "cap": CAP, "idx": CAP * S_SEG, "seg": SEG,
         "ms_per_frame": {k: (round(v * 1e3, 3) if v is not None else None)
                          for k, v in results.items()}}))
     return 0

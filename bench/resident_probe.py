@@ -1,23 +1,23 @@
-"""Resident-streaming executor probe: tracked track+fuse with chunk-compact state.
+"""Resident-streaming executor probe: track+fuse with chunk-compact state.
 
-Measures the ROUND-4 candidate for the at-scale bench path: the volume's
-active rows stay compact across a chunk (core/resident.py), fused in place
-— per-frame cost is the pixel gather + update over the resident set, the
-state-row movement (the ~91 ms/frame non-floor cost at 512^3,
-BASELINE.md) is amortized to flush+refresh once per chunk.  Variants:
+Round-4 design (after the margin-based exact-tracking variant measured
+270-363 ms/frame at 512^3 — transpose + double allocs + NSEG-scaling
+overheads ate the state-movement win): the STALE-MAP executor.
 
-  res_row      resident slots = whole X-rows (seg=None)
-  res_seg64    resident slots = 64-voxel X-segments (the cull admits
-               25-41% fewer voxels at 256^3/512^3; with resident state
-               there is no per-frame short-row gather to pay for it)
-  res_seg32    32-voxel segments
+  * Within a chunk the canonical volume is READ-ONLY — resident
+    membership is monotone, fusion updates live in the compact rows, and
+    the flush at chunk end is the only canonical write.
+  * The tracker therefore reads the CANONICAL volume with the proven
+    track_frame path (no transposed records table, no margins, no
+    fused-ever ledger).  Its map is stale by at most one chunk — the same
+    lag contract as the K-frame batched GT-pose kernel, measured on the
+    ATE harness (tests/test_ate_parity.py stale-map variant).
+  * Fusion stays EXACT: one alloc at the tracked pose admits newly active
+    slots (their canonical state is current — monotone membership), the
+    in-place update is the shared _fuse_voxel_update, FLAG_COVERAGE
+    guards the active-set cover.
 
-Each variant runs the FULL tracked loop (per-frame GN seed at
-offset @ prev pose, resident tracker, fuse at tracked pose) inside ONE
-jit program with scalar outputs (boundary-layout rule), chained-marginal
-timed, and asserts the exactness flags (capacity/delta/coverage/track-
-miss) stayed zero.
-
+Variants: seg in {none, 64} x mode in {stale (tracked), gt (fusion only)}.
 Usage: PSGSDF_BENCH_DIM=512 python bench/resident_probe.py
 Diagnostics to stderr; one JSON line on stdout.
 """
@@ -36,7 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DIM = int(os.environ.get("PSGSDF_BENCH_DIM", "512"))
-SEGS = os.environ.get("PSGSDF_PROBE_SEGS", "none,64,32")
+SEGS = os.environ.get("PSGSDF_PROBE_SEGS", "none,64")
+MODES = os.environ.get("PSGSDF_PROBE_MODES", "stale,gt")
 W, H = 640, 480
 CHUNK = 10
 OFFSET = np.array([0.004, -0.003, 0.005, 0.002, -0.002, 0.0015],
@@ -62,6 +63,7 @@ def main():
     from psgradientsdf_tpu.core.grid import GridGeometry
     from psgradientsdf_tpu.core import resident as RES
     from psgradientsdf_tpu.core import volume as V
+    from psgradientsdf_tpu.tracking.tracker import track_frame
 
     log(f"[res] devices: {jax.devices()}  DIM={DIM}")
     K_np, depth_np, normals_np, nsq_np, color_np = make_scene(W, H)
@@ -74,10 +76,6 @@ def main():
         **fuse_kw, num_iterations=4, conv_threshold_sq=1e-6, damping=1.0,
         early_exit=False, regather_every=4,
     )
-    # margins for the tracker-prep allocation: the scenario's per-frame
-    # motion is ~7 mm translation + ~3 mrad rotation -> <=6 px of
-    # reprojection at f=525/z=1.2 and <=8 mm of camera depth; 2x safety
-    MPX, MT = 12.0, 0.02
 
     K = jnp.asarray(K_np)
     depth = jnp.asarray(depth_np)
@@ -107,21 +105,12 @@ def main():
         **fuse_kw, row_capacity=CAP_ROW)
     assert not bool(ov)
     pvol = V.PackedVolume.from_volume(vol)
-    _ = float(jnp.sum(pvol.payload[0]))
-    # round-trip the canonical state through HOST numpy: keeping the 4-D
-    # canonical AND a streaming-shaped copy on the 16 GB chip at 512^3
-    # (5.4 GB each) plus program temps exhausts it — upload each variant
-    # pre-shaped instead (np.reshape is free host-side)
-    np_payload = np.asarray(pvol.payload).reshape(ZY * DIM * 8)
-    np_vis = np.asarray(pvol.vis)
-    Wc = np_vis.shape[0]
-    np_vis = np_vis.reshape(Wc, ZY * DIM)
-    del vol, pvol
+    _ = float(jnp.sum(pvol.payload[0, 0]))
+    del vol
     import gc
 
     gc.collect()
-    log(f"[res] map built; row-active {n_act_row}/{ZY}; state on host "
-        f"({np_payload.nbytes/1e9:.1f}+{np_vis.nbytes/1e9:.1f} GB)")
+    log(f"[res] map built; row-active {n_act_row}/{ZY}")
 
     results = {}
     seed_c = [0]
@@ -134,106 +123,110 @@ def main():
         seg = None if seg_s == "none" else int(seg_s)
         S = seg or DIM
         NSEGS = ZY * (DIM // S)
-        # size the resident capacity from the margin-inflated cull at the
-        # map pose, +25% chunk-drift headroom (flags assert sufficiency)
+        # capacity: bare active set at the map pose + chunk-drift headroom
+        # (no tracking margins — the stale-map tracker reads the canonical
+        # volume; flags assert cover)
         @jax.jit
-        def count_margin(d, p):
-            a = RES._act_flat(geom, d, K, p, **fuse_kw, S=S,
-                              margin_px=MPX, margin_t=MT)
+        def count_act(d, p):
+            a = RES._act_flat(geom, d, K, p, **fuse_kw, S=S)
             return jnp.sum(a.astype(jnp.int32))
 
-        n_res = int(count_margin(depth, eye))
-        CAPR = min(NSEGS, -(-int(n_res * 11 // 10) // 512) * 512)
-        DCAP = max(1024, -(-(CAPR // 16) // 512) * 512)
+        n_act = int(count_act(depth, eye))
+        CAPR = min(NSEGS, -(-int(n_act * 27 // 25) // 512) * 512)
+        DCAP = max(1024, -(-(CAPR // 24) // 512) * 512)
         idx_per_frame = CAPR * S
-        log(f"[res] seg={seg_s}: margin-active {n_res}/{NSEGS} -> CAPR={CAPR}"
+        log(f"[res] seg={seg_s}: active {n_act}/{NSEGS} -> CAPR={CAPR}"
             f" ({idx_per_frame/1e6:.2f}M idx/frame; row path: "
             f"{CAP_ROW*DIM/1e6:.2f}M), DCAP={DCAP}")
 
-        # upload the state pre-shaped at this variant's slot granularity
-        # (a 4-D carry makes every 2-D view a materialized payload copy
-        # per chunk — resident._shapes)
-        pv_seg = V.PackedVolume(
-            payload=jnp.asarray(np_payload.reshape(NSEGS, S * 8)),
-            vis=jnp.asarray(np_vis.reshape(Wc, NSEGS, S)))
-        _ = float(jnp.sum(pv_seg.payload[0]))
+        for mode in MODES.split(","):
+            @functools.partial(jax.jit, static_argnames=("n",))
+            def run_chunks(pv, off_m, s, *, n, seg=seg, CAPR=CAPR,
+                           DCAP=DCAP, mode=mode):
+                def frame(gk, fc):
+                    res, pose, iters, pv = fc
+                    seedp = off_m @ pose
+                    if mode == "gt":
+                        # fusion-only leg: sub-micron pose jitter (the
+                        # accumulating orbit walks the active set off the
+                        # static capacity; a FIXED pose lets XLA hoist the
+                        # cull+gather — bench.py fuse_chain convention)
+                        tj = 1e-7 * (gk + s).astype(jnp.float32)
+                        new_pose = eye + jnp.zeros(
+                            (4, 4), jnp.float32).at[0, 3].set(tj)
+                    else:
+                        tr = track_frame(pv, geom, depth, K, seedp,
+                                         **track_kw)
+                        new_pose = tr.pose
+                        iters = iters + tr.iterations
+                    res = RES.resident_alloc(
+                        res, pv, geom, depth, K, new_pose, **fuse_kw,
+                        delta_capacity=DCAP)
+                    res = RES.fuse_frame_resident(
+                        res, geom, color, depth, normals, nsq, K, new_pose,
+                        jnp.int32(1) + (gk + s) % 60, **fuse_kw,
+                        update_ledger=False)
+                    return res, new_pose, iters, pv
 
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def run_chunks(pv, off_m, s, *, n, seg=seg, CAPR=CAPR, DCAP=DCAP):
-            def frame(gk, fc):
-                res, pv, pose, iters, miss = fc
-                seedp = off_m @ pose
-                res = RES.resident_alloc(
-                    res, pv, geom, depth, K, seedp, **fuse_kw,
-                    delta_capacity=DCAP, margin_px=MPX, margin_t=MT)
-                tr, m = RES.track_frame_resident(
-                    res, geom, depth, K, seedp, **track_kw)
-                res = RES.resident_alloc(
-                    res, pv, geom, depth, K, tr.pose, **fuse_kw,
-                    delta_capacity=DCAP)
-                res = RES.fuse_frame_resident(
-                    res, geom, color, depth, normals, nsq, K, tr.pose,
-                    jnp.int32(1) + (gk + s) % 60, **fuse_kw)
-                return res, pv, tr.pose, iters + tr.iterations, miss | m
+                def chunk(c, carry):
+                    pv, pose, iters, flags = carry
+                    res = RES.resident_refresh(
+                        pv, geom, depth, K, pose, **fuse_kw, capacity=CAPR,
+                        seg_x=seg)
+                    res, pose, iters, pv = jax.lax.fori_loop(
+                        0, CHUNK,
+                        lambda k, fc: frame(c * CHUNK + k, fc),
+                        (res, pose, iters, pv))
+                    pv = RES.resident_flush(res, pv)
+                    return pv, pose, iters, flags | res.flags
 
-            def chunk(c, carry):
-                pv, pose, iters, flags, miss = carry
-                res = RES.resident_refresh(
-                    pv, geom, depth, K, pose, **fuse_kw, capacity=CAPR,
-                    seg_x=seg, margin_px=MPX, margin_t=MT)
-                res, pv, pose, iters, miss = jax.lax.fori_loop(
-                    0, CHUNK,
-                    lambda k, fc: frame(c * CHUNK + k, fc),
-                    (res, pv, pose, iters, miss))
-                pv = RES.resident_flush(res, pv)
-                return pv, pose, iters, flags | res.flags, miss
+                pv, pose, iters, flags = jax.lax.fori_loop(
+                    0, n, chunk,
+                    (pv, eye, jnp.int32(0), jnp.int32(0)))
+                return (jnp.sum(pv.payload[0, 0]) + jnp.sum(pose), iters,
+                        flags)
 
-            pv, pose, iters, flags, miss = jax.lax.fori_loop(
-                0, n, chunk,
-                (pv, eye, jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
-            return (jnp.sum(pv.payload[0]) + jnp.sum(pose), iters, flags,
-                    miss.astype(jnp.int32))
-
-        try:
-            n1, n2 = 2, 6
-            f1 = functools.partial(run_chunks, n=n1)
-            f2 = functools.partial(run_chunks, n=n2)
-            t0 = time.perf_counter()
-            r1 = f1(pv_seg, off, seed())
-            _ = float(r1[0])
-            log(f"[res] seg={seg_s}: first exec {time.perf_counter()-t0:.1f}s"
-                f" flags={int(r1[2])} miss={int(r1[3])}")
-            assert int(r1[2]) == 0, f"resident flags={int(r1[2])}"
-            assert int(r1[3]) == 0, "tracker miss flag"
-            r2 = f2(pv_seg, off, seed())
-            _ = float(r2[0])
-            assert int(r2[2]) == 0 and int(r2[3]) == 0
-            best = 1e18
-            for _rep in range(3):
+            name = f"res_{seg_s}_{mode}"
+            try:
+                n1, n2 = 2, 6
+                f1 = functools.partial(run_chunks, n=n1)
+                f2 = functools.partial(run_chunks, n=n2)
                 t0 = time.perf_counter()
-                ra = f1(pv_seg, off, seed())
-                _ = float(ra[0])
-                t1 = time.perf_counter()
-                rb = f2(pv_seg, off, seed())
-                _ = float(rb[0])
-                t2 = time.perf_counter()
-                best = min(best, ((t2 - t1) - (t1 - t0))
-                           / ((n2 - n1) * CHUNK))
-                assert int(rb[2]) == 0 and int(rb[3]) == 0
-            results[f"res_{seg_s}"] = dict(
-                ms_per_frame=round(best * 1e3, 3),
-                fps=round(1.0 / best, 2),
-                idx_per_frame=idx_per_frame,
-                ns_per_idx=round(best * 1e9 / idx_per_frame, 3),
-                capr=CAPR,
-            )
-            log(f"[res] seg={seg_s}: {best*1e3:.2f} ms/frame "
-                f"({1.0/best:.1f} fps, {best*1e9/idx_per_frame:.2f} ns/idx)")
-        except Exception as e:
-            results[f"res_{seg_s}"] = None
-            log(f"[res] seg={seg_s}: FAILED {type(e).__name__}: {e}")
-        del pv_seg, run_chunks, f1, f2
-        gc.collect()
+                r1 = f1(pvol, off, seed())
+                _ = float(r1[0])
+                log(f"[res] {name}: first exec "
+                    f"{time.perf_counter()-t0:.1f}s flags={int(r1[2])}")
+                assert int(r1[2]) == 0, f"resident flags={int(r1[2])}"
+                r2 = f2(pvol, off, seed())
+                _ = float(r2[0])
+                assert int(r2[2]) == 0
+                best = 1e18
+                for _rep in range(3):
+                    t0 = time.perf_counter()
+                    ra = f1(pvol, off, seed())
+                    _ = float(ra[0])
+                    t1 = time.perf_counter()
+                    rb = f2(pvol, off, seed())
+                    _ = float(rb[0])
+                    t2 = time.perf_counter()
+                    best = min(best, ((t2 - t1) - (t1 - t0))
+                               / ((n2 - n1) * CHUNK))
+                    assert int(rb[2]) == 0
+                results[name] = dict(
+                    ms_per_frame=round(best * 1e3, 3),
+                    fps=round(1.0 / best, 2),
+                    idx_per_frame=idx_per_frame,
+                    ns_per_idx=round(best * 1e9 / idx_per_frame, 3),
+                    capr=CAPR,
+                )
+                log(f"[res] {name}: {best*1e3:.2f} ms/frame "
+                    f"({1.0/best:.1f} fps, "
+                    f"{best*1e9/idx_per_frame:.2f} ns/idx)")
+            except Exception as e:
+                results[name] = None
+                log(f"[res] {name}: FAILED {type(e).__name__}: {e}")
+            del run_chunks, f1, f2
+            gc.collect()
 
     print(json.dumps({"dim": DIM, "chunk": CHUNK, "variants": results}))
     return 0

@@ -188,8 +188,11 @@ def resident_refresh(
     ok = ridx < NSEG
     safe = jnp.minimum(ridx, NSEG - 1)
 
-    canon2 = pvol.payload.reshape(NSEG, S * 8)
-    rows = jnp.take(canon2, safe, axis=0)
+    # canonical access via the 3-D [NSEG, S, 8] view — the packed kernel's
+    # proven gather pattern; a 2-D [NSEG, S*8] view of the 4-D canonical
+    # materializes a full payload copy per loop iteration (round 4)
+    state3 = pvol.payload.reshape(NSEG, S, 8)
+    rows = jnp.take(state3, safe, axis=0).reshape(capacity, S * 8)
     vis_rows = jnp.take(pvol.vis.reshape(Wc, NSEG, S), safe, axis=1)
     # free slots must not alias live rows' content semantics: they are
     # ignored via slot_rows == NSEG, so duplicated gathers are harmless
@@ -212,12 +215,13 @@ def resident_flush(res: ResidentVolume, pvol: PackedVolume) -> PackedVolume:
     Wc = pvol.vis.shape[0]
     CAPR, S = res.rows.shape[0], res.rows.shape[1] // 8
     NSEG = res.row_slot.shape[0]
-    canon2 = pvol.payload.reshape(NSEG, S * 8)
-    new2 = canon2.at[res.slot_rows].set(res.rows, mode="drop")
+    state3 = pvol.payload.reshape(NSEG, S, 8)   # 3-D view: see refresh
+    new3 = state3.at[res.slot_rows].set(
+        res.rows.reshape(CAPR, S, 8), mode="drop")
     vis3 = pvol.vis.reshape(Wc, NSEG, S)
     # scatter per word plane (Wc is tiny — 1-8 words)
     new_vis = vis3.at[:, res.slot_rows].set(res.vis_rows, mode="drop")
-    return PackedVolume(payload=new2.reshape(pvol.payload.shape),
+    return PackedVolume(payload=new3.reshape(pvol.payload.shape),
                         vis=new_vis.reshape(pvol.vis.shape))
 
 
@@ -261,8 +265,8 @@ def resident_alloc(
     safe_d = jnp.minimum(didx, NSEG - 1)
     write_slot = jnp.where(d_ok, slots_new, CAPR)      # CAPR drops
 
-    canon2 = pvol.payload.reshape(NSEG, S * 8)
-    rows_d = jnp.take(canon2, safe_d, axis=0)
+    state3 = pvol.payload.reshape(NSEG, S, 8)   # 3-D view: see refresh
+    rows_d = jnp.take(state3, safe_d, axis=0).reshape(delta_capacity, S * 8)
     vis_d = jnp.take(pvol.vis.reshape(Wc, NSEG, S), safe_d, axis=1)
 
     rows = res.rows.at[write_slot].set(rows_d, mode="drop")
@@ -296,12 +300,18 @@ def fuse_frame_resident(
     zmin: float,
     zmax: float,
     cos_thresh_sq: float = 0.25 * 0.25,
+    update_ledger: bool = True,
 ) -> ResidentVolume:
     """One frame fused IN PLACE on the resident rows — the exact per-voxel
     update (shared _fuse_voxel_update, bit-identical to fuse_frame on the
     resident rows), gated per slot by this frame's level-1 cull.  An
     active-but-unresident row raises FLAG_COVERAGE (the update would be
-    incomplete; the caller must redo on the canonical path)."""
+    incomplete; the caller must redo on the canonical path).
+
+    update_ledger=False skips the fused_ever scatter (an [NSEG]-sized op
+    per frame) — valid whenever the caller does not use the compact-only
+    tracker (e.g. the stale-map streaming executor, which tracks against
+    the full canonical volume instead)."""
     X, Y, Zd = geom.dims
     CAPR, S = res.rows.shape[0], res.rows.shape[1] // 8
     NS = X // S
@@ -345,12 +355,15 @@ def fuse_frame_resident(
     vis_rows = jax.lax.dynamic_update_index_in_dim(
         res.vis_rows, vplane | vis_or, word, axis=0)
 
-    # exact fused-ever ledger: rows whose update stored weight this frame
-    fused_now = jnp.any(vis_or != 0, axis=-1)              # [CAPR]
-    fe_pad = jnp.concatenate(
-        [res.fused_ever, jnp.zeros((1,), jnp.bool_)])
-    fused_ever = fe_pad.at[jnp.where(fused_now, res.slot_rows, NSEG)].set(
-        True, mode="drop")[:NSEG]
+    if update_ledger:
+        # exact fused-ever ledger: rows whose update stored weight this frame
+        fused_now = jnp.any(vis_or != 0, axis=-1)          # [CAPR]
+        fe_pad = jnp.concatenate(
+            [res.fused_ever, jnp.zeros((1,), jnp.bool_)])
+        fused_ever = fe_pad.at[jnp.where(fused_now, res.slot_rows, NSEG)].set(
+            True, mode="drop")[:NSEG]
+    else:
+        fused_ever = res.fused_ever
 
     flags = res.flags | jnp.where(coverage_bad, FLAG_COVERAGE, 0)
     return res._replace(rows=new_rows, vis_rows=vis_rows,

@@ -178,7 +178,10 @@ def run_cpp(scene):
     return ate_rmse(list(poses[1:]), scene["gt"][1:])
 
 
-def jax_track_ate(scene, **tkw):
+def jax_track_ate(scene, stale_every=0, **tkw):
+    """stale_every=N tracks every frame against a map snapshot refreshed
+    every N frames — the resident streaming executor's lag contract (the
+    canonical volume is read-only within a chunk; core/resident.py)."""
     DIM = scene["DIM"]
     geom = GridGeometry(dims=(DIM, DIM, DIM), voxel_size=scene["h"],
                         shift=tuple(SHIFT))
@@ -189,16 +192,20 @@ def jax_track_ate(scene, **tkw):
     color = jnp.full((scene["H"], scene["W"], 3), 0.5, dtype=jnp.float32)
     pose = jnp.asarray(scene["gt"][0])
     tracked = [np.asarray(pose)]
+    track_vol = vol
     for f, (_, depth, normals, nsq) in enumerate(scene["frames"]):
         dj = jnp.asarray(depth)
         nj = jnp.asarray(normals)
         qj = jnp.asarray(nsq)
         if f > 0:
-            res = track_frame(vol, geom, dj, K, pose, **kw, **tkw)
+            res = track_frame(track_vol if stale_every else vol, geom, dj,
+                              K, pose, **kw, **tkw)
             pose = res.pose
             tracked.append(np.asarray(pose))
         vol = fuse_frame(vol, geom, color, dj, nj, qj, K, pose,
                          jnp.int32(f), **kw)
+        if stale_every and (f + 1) % stale_every == 0:
+            track_vol = vol
     return ate_rmse(tracked[1:], scene["gt"][1:])
 
 
@@ -238,6 +245,22 @@ def test_ate_streaming_config(scene, cpp_ate):
                         damping=1.0, early_exit=False, regather_every=4)
     print(f"ATE jax(stream-config)={ate:.5f} cpp={cpp_ate:.5f}")
     assert ate <= cpp_ate * 1.15 + 2e-4
+
+
+def test_ate_stale_map_config(scene, cpp_ate):
+    """Resident streaming executor's lag contract: tracking reads a map
+    snapshot refreshed every 10 frames (chunk length) while fusion stays
+    per-frame exact in the compact rows (core/resident.py stale-map
+    executor).  The fused map changes little within a chunk once the
+    surface is established, so the ATE cost of the lag must stay small."""
+    fresh = jax_track_ate(scene, num_iterations=8, conv_threshold_sq=1e-6,
+                          damping=1.0, early_exit=False, regather_every=4)
+    stale = jax_track_ate(scene, stale_every=10, num_iterations=8,
+                          conv_threshold_sq=1e-6, damping=1.0,
+                          early_exit=False, regather_every=4)
+    print(f"ATE jax(stale-map, chunk=10)={stale:.5f} fresh={fresh:.5f} "
+          f"cpp={cpp_ate:.5f}")
+    assert stale <= max(fresh * 1.3, cpp_ate * 1.5) + 2e-4
 
 
 # --------------------------------------------------------------------------
