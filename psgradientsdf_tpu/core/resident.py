@@ -1,17 +1,24 @@
-"""Resident streaming volume: the chunk-compact state for the track+fuse loop.
+"""Resident streaming volume: chunk-compact state for the track+fuse loop.
 
-Round-3/4 finding (BASELINE.md "state-row movement", bench/insitu_probe.py):
-at 256^3/512^3 the dominant non-floor cost of per-frame culled fusion
-(core/volume.py, re-implementing /root/reference/cpp/include/sdf_tracker/
-VolumetricGradSdf.cpp:78-134) is moving the surviving state rows between
-the canonical [Z,Y,X,8] table and the kernel — ~91 ms of a 192 ms frame at
-512^3 — and no movement engine (XLA 2-D copies, Pallas row DMAs) beats
-~60 GB/s for indexed rows.  The K-frame batched kernel proved the fix:
-amortize the movement by KEEPING the state compact across frames
-(169.7 ms/frame at K=10 vs 192 sequential, pixel+update floor ~101 ms).
+STATUS (round 4, measured on the v5e — BASELINE.md "pipeline-bound"):
+this design was built to amortize the culled-fusion state-row movement
+(~60 GB/s indexed-row ceiling, bench/row_probe.py) by keeping the active
+rows compact across a chunk.  Direct measurement FALSIFIED the premise:
+XLA's fused gather->update->scatter pipeline overlaps the row movement
+with the pixel gather, so the shipped per-frame kernel (192 ms/frame at
+512^3 WITH full movement) beats every resident variant (206.9 ms
+fusion-only in-place; 211.7 with stale-map tracking; segment slots worse
+still).  The in-place update of a materialized carry costs more than the
+movement it saves.  The module stays as a tested capability — the
+streaming executors do NOT use it (bench/resident_probe.py holds the
+measured record) — and as the reference implementation of the at-scale
+layout rules (2-D carries, vis-derived ledger, transposed record table)
+that any future compact-state design must follow.
 
-This module makes that a streaming-capable state, with tracking between
-frames (the batched kernel is GT-pose only):
+The original design, still accurate for the semantics (re-implementing
+/root/reference/cpp/include/sdf_tracker/VolumetricGradSdf.cpp:78-134 on
+a chunk-resident compact state, with tracking between frames — the
+K-frame batched kernel in core/volume.py is GT-pose only):
 
   ResidentVolume
     rows      [CAPR, S*8] f32    compact payload rows (slot-major; slots
