@@ -202,6 +202,13 @@ def run(log=print) -> dict:
         "refine_dist_block_tflops": (
             round(tpu["flops"] / tpu["dist_block_s"] / 1e12, 3)
             if tpu.get("flops") else None),
+        # cost_analysis bytes are LOGICAL operand bytes of every HLO op —
+        # they count fusion-internal reuse served from VMEM/registers, so
+        # the derived GB/s can exceed the physical HBM peak (observed
+        # 3.0x).  Treat them as an upper bound on traffic; the comparable
+        # wall-clock numbers above are the benchmark.
+        "refine_dist_block_bytes_note": "logical (cost-analysis) bytes, "
+                                        "not physical HBM traffic",
         "refine_scenario": (
             f"{DIM}^3 grid, SH1, cauchy, {FRAMES} keyframes all-visible, "
             "one distance block = residual + 4-voxel-stencil Jacobian + "
