@@ -506,6 +506,12 @@ def main() -> int:
         # BASELINE.md "pipeline-bound").
         "fusion_floor_model": {
             "pixel_gather_idx": tpu.get("fuse_gather_idx"),
+            # real-stream isolated gather rate measured 4.49 ns/idx at
+            # 512^3, ordering-insensitive (bench/coherence_probe.py);
+            # the 3.4/5.0 brackets are the synthetic clustered/random
+            # extremes from bench/pix_probe.py
+            "pixel_gather_ms_real_stream_4p5ns": round(
+                tpu["fuse_gather_idx"] * 4.5e-6, 2),
             "pixel_gather_ms_clustered_3p4ns": round(
                 tpu["fuse_gather_idx"] * 3.4e-6, 2),
             "pixel_gather_ms_random_5p0ns": round(

@@ -248,19 +248,26 @@ def test_ate_streaming_config(scene, cpp_ate):
 
 
 def test_ate_stale_map_config(scene, cpp_ate):
-    """Resident streaming executor's lag contract: tracking reads a map
-    snapshot refreshed every 10 frames (chunk length) while fusion stays
-    per-frame exact in the compact rows (core/resident.py stale-map
-    executor).  The fused map changes little within a chunk once the
-    surface is established, so the ATE cost of the lag must stay small."""
-    fresh = jax_track_ate(scene, num_iterations=8, conv_threshold_sq=1e-6,
-                          damping=1.0, early_exit=False, regather_every=4)
-    stale = jax_track_ate(scene, stale_every=10, num_iterations=8,
-                          conv_threshold_sq=1e-6, damping=1.0,
-                          early_exit=False, regather_every=4)
-    print(f"ATE jax(stale-map, chunk=10)={stale:.5f} fresh={fresh:.5f} "
-          f"cpp={cpp_ate:.5f}")
-    assert stale <= max(fresh * 1.3, cpp_ate * 1.5) + 2e-4
+    """Stale-map tracking envelope (measured round 4, this scenario):
+    tracking against a map snapshot refreshed every N frames costs
+    NOTHING for N<=3 (2.49-2.53 mm vs 2.66 fresh — the snapshot even
+    stabilizes the solve), 1.65x at N=5, and 4x at N=10.  The resident
+    streaming executor was NOT adopted (it lost the perf race —
+    core/resident.py STATUS), so this pins the measured accuracy dial
+    for any future chunk-lagged tracking design: lag <= 3 frames is
+    free, chunk-length lag is not."""
+    tkw = dict(num_iterations=8, conv_threshold_sq=1e-6, damping=1.0,
+               early_exit=False, regather_every=4)
+    fresh = jax_track_ate(scene, **tkw)
+    stale3 = jax_track_ate(scene, stale_every=3, **tkw)
+    stale10 = jax_track_ate(scene, stale_every=10, **tkw)
+    print(f"ATE jax stale3={stale3:.5f} stale10={stale10:.5f} "
+          f"fresh={fresh:.5f} cpp={cpp_ate:.5f}")
+    # <=3-frame lag is free on this aggressive-motion orbit
+    assert stale3 <= fresh * 1.2 + 2e-4
+    # chunk-length lag is NOT free — if this starts passing at 1.2x the
+    # scenario lost its teeth, not the executor its constraint
+    assert stale10 > fresh * 1.5
 
 
 # --------------------------------------------------------------------------
