@@ -142,6 +142,21 @@ class ImageLoader:
     def load_next(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         raise NotImplementedError
 
+    def load_albedo(self, filename: str) -> Optional[np.ndarray]:
+        """[H,W,3] float32 albedo image in [0,1] from `filename` relative
+        to the dataset path, grayscale promoted to 3 channels
+        (ImageLoader.h:190-214 — dead API in the reference, uncalled by
+        main_ps.cpp; provided for drop-in parity).  None on failure
+        (the reference returns false)."""
+        if not filename:
+            return None
+        img = _imread_color(os.path.join(self.path, filename))
+        if img is None:
+            return None
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        return img
+
     def frame_paths(
         self, idx: int
     ) -> Optional[Tuple[str, str, str, str]]:
@@ -287,6 +302,20 @@ class MultiviewLoader(ImageLoader):
 
     def skip(self, n: int):
         self.counter += n
+
+    def load_keyframe(self, frame: int):
+        """Load by 0-based index (MultiviewLoader.h:60-91 — dead API in
+        the reference, uncalled by main_ps.cpp; drop-in parity).  Also
+        records the frame's timestamp like the reference does."""
+        stamp = f"{frame + 1:06d}"
+        self.timestamp_rgb = self.timestamp_depth = stamp
+        depth = _imread_depth(
+            os.path.join(self.path, "depth" + stamp + ".png"), self.unit)
+        color = _imread_color(
+            os.path.join(self.path, "color" + stamp + ".png"))
+        if depth is None or color is None:
+            return None
+        return color, depth
 
     def reset(self):
         self.counter = 1

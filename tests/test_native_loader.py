@@ -116,3 +116,46 @@ def test_sokrates_demo_frames_bit_exact():
     for n in c_names:
         p = os.path.join(SOKRATES, n)
         np.testing.assert_array_equal(_imread_color_raw(p), _cv2_rgb(p))
+
+
+def test_load_albedo(tmp_path):
+    """ImageLoader.load_albedo (ImageLoader.h:190-214): color file relative
+    to the dataset path -> [H,W,3] float32 in [0,1]; empty filename / a
+    missing file -> None (the reference returns false)."""
+    from psgradientsdf_tpu.io.loaders import SynthLoader
+
+    rng = np.random.default_rng(5)
+    img = (rng.random((12, 16, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(os.path.join(str(tmp_path), "albedo.png"), img[..., ::-1])
+    loader = SynthLoader(str(tmp_path) + "/")
+    alb = loader.load_albedo("albedo.png")
+    assert alb is not None and alb.shape == (12, 16, 3)
+    assert alb.dtype == np.float32
+    np.testing.assert_allclose(alb, img.astype(np.float32) / 255.0,
+                               rtol=0, atol=1e-6)
+    assert loader.load_albedo("") is None
+    assert loader.load_albedo("nope.png") is None
+
+
+def test_multiview_load_keyframe(tmp_path):
+    """MultiviewLoader.load_keyframe (MultiviewLoader.h:60-91): 6-digit
+    frame+1 naming, stateless (counter untouched)."""
+    from psgradientsdf_tpu.io.loaders import MultiviewLoader
+
+    rng = np.random.default_rng(7)
+    img = (rng.random((10, 12, 3)) * 255).astype(np.uint8)
+    dep = (rng.random((10, 12)) * 3000).astype(np.uint16)
+    root = str(tmp_path) + "/"
+    cv2.imwrite(root + "color000003.png", img[..., ::-1])
+    cv2.imwrite(root + "depth000003.png", dep)
+    loader = MultiviewLoader(root)
+    out = loader.load_keyframe(2)
+    assert out is not None
+    color, depth = out
+    np.testing.assert_allclose(color, img.astype(np.float32) / 255.0,
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(depth, dep.astype(np.float32) / 1000.0,
+                               rtol=0, atol=1e-6)
+    assert loader.counter == 1          # stateless like the reference
+    assert loader.timestamp_rgb == "000003"
+    assert loader.load_keyframe(50) is None
