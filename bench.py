@@ -385,13 +385,14 @@ def run_tpu() -> dict:
     # regression guard for the emitter/layout regime: this metric is
     # the WHOLE culled-fusion kernel (pixel gather + state row
     # gather/scatter + update + cull) per pixel-gather index.  Bounds are
-    # DIM-SPECIFIC (round-4 VERDICT #6): measured 4.26 / 6.18 / 6.48
-    # ns/idx at 128/256/512 — the at-scale drift above 128^3's rate is
-    # physical index-coherence (BASELINE.md, bench/pix_probe.py), so each
-    # dim gets ~25% headroom over its own measured rate instead of the
-    # old blanket 12.0 that only caught full regime flips.
-    _NS_BOUND = {128: 5.5, 192: 7.0, 256: 7.5, 512: 7.5}
-    bound = _NS_BOUND.get(DIM, 9.0)
+    # DIM-SPECIFIC (round-4 VERDICT #6), set ~15-25% above the WORST
+    # measured session (r3: 4.26/6.18/6.48; r4: 5.22/7.10/6.78 — the
+    # 10-20% spread on identical code is server-side day drift,
+    # CLAUDE.md) so a real layout/emitter regression (boundary-layout
+    # pathologies measure >20, a 1.5x drift >10) fails loudly while a
+    # bad tunnel day does not.
+    _NS_BOUND = {128: 6.5, 192: 8.0, 256: 8.5, 512: 8.0}
+    bound = _NS_BOUND.get(DIM, 10.0)
     assert fuse_ns_per_idx <= bound, (
         f"fusion kernel left its {DIM}^3 regime: {fuse_ns_per_idx:.2f} "
         f"ns/idx (bound {bound})")
