@@ -196,8 +196,11 @@ def run_tpu() -> dict:
                               + jnp.arange(KB)).astype(jnp.float32))
                 poses = (eye[None] + jnp.zeros((KB, 4, 4), jnp.float32)
                          .at[:, 0, 3].set(tj))
-                fids = jnp.int32(1) + (jnp.arange(KB, dtype=jnp.int32)
-                                       + k + s) % 30
+                # non-wrapping ascending window (fuse_frames_culled requires
+                # ascending frame_ids; a mid-batch modulus wrap would break
+                # that silently once ids cross a vis-word boundary)
+                base = (k + s) % 20
+                fids = jnp.int32(1) + base + jnp.arange(KB, dtype=jnp.int32)
                 st, ov = fuse_frames_culled(
                     st, geom, colors_b, depths_b, normals_b, nsq_b, K,
                     poses, fids, **{k_: v for k_, v in fuse_kw.items()

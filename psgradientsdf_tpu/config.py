@@ -79,7 +79,15 @@ class OptimizerConfig:
 class TpuConfig:
     """TPU-native extensions (no reference counterpart)."""
     grid_dim: Tuple[int, int, int] = (128, 128, 128)
-    frame_cap: int = 256          # bit-packed visibility capacity
+    frame_cap: int = 256          # bit-packed visibility capacity; unless
+                                  # set explicitly ("frame cap" key) the
+                                  # pipeline AUTO-SIZES it to the config's
+                                  # frame range (last-first+1, rounded to a
+                                  # 32-bit word) so long sequences never
+                                  # alias visibility bits — the reference's
+                                  # per-voxel vector<bool> grows unbounded
+                                  # (VolumetricGradSdf.cpp:129-131)
+    frame_cap_explicit: bool = False  # True when "frame cap" was in the JSON
     keyframe_cap: int = 40        # max keyframes in refinement (main_ps.cpp:312)
     mesh_z: int = 1               # voxel-grid Z-slab sharding axis size
     mesh_frames: int = 1          # keyframe sharding axis size
@@ -191,6 +199,7 @@ def parse_config(cfg: dict, save_copy: bool = True) -> PipelineConfig:
         tpu.grid_dim = (g, g, g) if isinstance(g, int) else tuple(g)
     if "frame cap" in cfg:
         tpu.frame_cap = int(cfg["frame cap"])
+        tpu.frame_cap_explicit = True
     if "keyframe cap" in cfg:
         tpu.keyframe_cap = int(cfg["keyframe cap"])
     if "mesh shape" in cfg:

@@ -305,8 +305,11 @@ class MultiviewLoader(ImageLoader):
 
     def load_keyframe(self, frame: int):
         """Load by 0-based index (MultiviewLoader.h:60-91 — dead API in
-        the reference, uncalled by main_ps.cpp; drop-in parity).  Also
-        records the frame's timestamp like the reference does."""
+        the reference, uncalled by main_ps.cpp; drop-in parity).  Sets the
+        scalar rgb/depth timestamps; the reference ALSO appends to its
+        timestamps_rgb_/timestamps_depth_ history vectors on every call —
+        this port keeps no such history (nothing reads it), so that side
+        effect is intentionally omitted."""
         stamp = f"{frame + 1:06d}"
         self.timestamp_rgb = self.timestamp_depth = stamp
         depth = _imread_depth(

@@ -134,7 +134,7 @@ def scatter_rows(table: jax.Array, idx: jax.Array, rows: jax.Array, *,
         num_scalar_prefetch=1,
         grid=(CAP,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),     # table (aliased, unread)
+            pl.BlockSpec(memory_space=pl.ANY),     # table (aliased, unread)
             pl.BlockSpec((1, m, l), lambda i, idx_ref: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, m, l), lambda i, idx_ref: (idx_ref[i], 0, 0)),
@@ -191,8 +191,8 @@ def gather_rows_dma(table: jax.Array, idx: jax.Array, *,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA((_NSEM,))],
     )
     out = pl.pallas_call(
@@ -248,10 +248,10 @@ def scatter_rows_dma(table: jax.Array, idx: jax.Array, rows: jax.Array, *,
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA((_NSEM,))],
     )
     out = pl.pallas_call(

@@ -73,8 +73,14 @@ def _pad_cap(n: int, minimum: int = 1024) -> int:
 
 def _kf_bit_arrays(keyframe_indices: Sequence[int], n_words: int):
     """Host-side bit bookkeeping for select_vis: per-keyframe (word, bit)
-    plus the per-word OR-mask of all keyframe bits (for the `seen` test)."""
-    kf = np.asarray(keyframe_indices, dtype=np.int64)
+    plus the per-word OR-mask of all keyframe bits (for the `seen` test).
+
+    Frame counters beyond the volume's visibility capacity alias the LAST
+    bit — the same rule the fusion side applies (pipeline._vis_frame_id),
+    so an overflowed keyframe's visibility is read from exactly the slot
+    its fusion wrote."""
+    kf = np.minimum(np.asarray(keyframe_indices, dtype=np.int64),
+                    n_words * 32 - 1)
     words = (kf // 32).astype(np.int32)
     bits = (np.uint32(1) << (kf % 32).astype(np.uint32)).astype(np.uint32)
     word_masks = np.zeros(n_words, dtype=np.uint32)

@@ -180,8 +180,14 @@ def run_cpp(scene):
 
 def jax_track_ate(scene, stale_every=0, **tkw):
     """stale_every=N tracks every frame against a map snapshot refreshed
-    every N frames — the resident streaming executor's lag contract (the
-    canonical volume is read-only within a chunk; core/resident.py)."""
+    at N-frame chunk boundaries — the resident streaming executor's lag
+    contract (the canonical volume is read-only within a chunk;
+    core/resident.py).  The snapshot is taken AFTER frame 0 is fused
+    (the executor refreshes at chunk start from a canonical map that
+    already contains frame 0) — an earlier version of this harness
+    started from the EMPTY volume, so the first N-1 frames tracked
+    against a map with no data at all, conflating a degenerate startup
+    with steady-state lag (advisor round 4)."""
     DIM = scene["DIM"]
     geom = GridGeometry(dims=(DIM, DIM, DIM), voxel_size=scene["h"],
                         shift=tuple(SHIFT))
@@ -197,6 +203,8 @@ def jax_track_ate(scene, stale_every=0, **tkw):
         dj = jnp.asarray(depth)
         nj = jnp.asarray(normals)
         qj = jnp.asarray(nsq)
+        if stale_every and f > 0 and f % stale_every == 0:
+            track_vol = vol          # chunk boundary: refresh snapshot
         if f > 0:
             res = track_frame(track_vol if stale_every else vol, geom, dj,
                               K, pose, **kw, **tkw)
@@ -204,8 +212,8 @@ def jax_track_ate(scene, stale_every=0, **tkw):
             tracked.append(np.asarray(pose))
         vol = fuse_frame(vol, geom, color, dj, nj, qj, K, pose,
                          jnp.int32(f), **kw)
-        if stale_every and (f + 1) % stale_every == 0:
-            track_vol = vol
+        if stale_every and f == 0:
+            track_vol = vol          # first chunk sees the frame-0 map
     return ate_rmse(tracked[1:], scene["gt"][1:])
 
 
@@ -248,14 +256,17 @@ def test_ate_streaming_config(scene, cpp_ate):
 
 
 def test_ate_stale_map_config(scene, cpp_ate):
-    """Stale-map tracking envelope (measured round 4, this scenario):
-    tracking against a map snapshot refreshed every N frames costs
-    NOTHING for N<=3 (2.49-2.53 mm vs 2.66 fresh — the snapshot even
-    stabilizes the solve), 1.65x at N=5, and 4x at N=10.  The resident
-    streaming executor was NOT adopted (it lost the perf race —
-    core/resident.py STATUS), so this pins the measured accuracy dial
-    for any future chunk-lagged tracking design: lag <= 3 frames is
-    free, chunk-length lag is not."""
+    """Stale-map tracking envelope (RE-MEASURED round 5 after the advisor
+    caught a harness flaw: the round-4 harness started the snapshot from
+    the EMPTY volume, so with lag N the first N-1 frames tracked against
+    a map with no data — the pinned '1.65x at N=5, 4x at N=10' envelope
+    was that degenerate startup, not steady-state lag).  With the
+    snapshot correctly seeded from the frame-0 map and refreshed at
+    chunk boundaries (the resident executor's actual contract,
+    core/resident.py), chunk-lagged tracking is FREE on this orbit at
+    every measured depth: N=3 2.69, N=5 2.66, N=10 2.63, N=20 2.64,
+    N=40 2.52 vs fresh 2.62 mm (2026-08-21).  The production handheld
+    anchor's envelope is measured in test_ate_production_anchor."""
     tkw = dict(num_iterations=8, conv_threshold_sq=1e-6, damping=1.0,
                early_exit=False, regather_every=4)
     fresh = jax_track_ate(scene, **tkw)
@@ -263,11 +274,9 @@ def test_ate_stale_map_config(scene, cpp_ate):
     stale10 = jax_track_ate(scene, stale_every=10, **tkw)
     print(f"ATE jax stale3={stale3:.5f} stale10={stale10:.5f} "
           f"fresh={fresh:.5f} cpp={cpp_ate:.5f}")
-    # <=3-frame lag is free on this aggressive-motion orbit
-    assert stale3 <= fresh * 1.2 + 2e-4
-    # chunk-length lag is NOT free — if this starts passing at 1.2x the
-    # scenario lost its teeth, not the executor its constraint
-    assert stale10 > fresh * 1.5
+    # steady-state chunk lag is free (within noise) at 3 and 10 frames
+    assert stale3 <= fresh * 1.15 + 2e-4
+    assert stale10 <= fresh * 1.15 + 2e-4
 
 
 # --------------------------------------------------------------------------
@@ -296,6 +305,13 @@ def test_ate_production_anchor(tmp_path):
         results[f"jax_stream_stride{s}"] = jax_track_ate(
             sc, num_iterations=8, conv_threshold_sq=1e-6, damping=1.0,
             early_exit=False, regather_every=4, stride=s)
+    # stale-map envelope at the handheld operating point (round 5: the CI
+    # anchor showed chunk lag free after the harness fix; verify the
+    # rotation-burst trajectory agrees before any design leans on it)
+    for n in (3, 10):
+        results[f"jax_stream_stale{n}"] = jax_track_ate(
+            sc, stale_every=n, num_iterations=8, conv_threshold_sq=1e-6,
+            damping=1.0, early_exit=False, regather_every=4)
     print("production ATE-RMSE (m): "
           + "  ".join(f"{k}={v:.5f}" for k, v in results.items()))
     # parity bound: the REFERENCE-config tracker vs the C++ reference
