@@ -515,13 +515,24 @@ def solve_light_sh(
     """Per-frame BxB normal equations (lightJacobian + CG,
     PsOptimizer.cpp:175-203; block-diagonal -> exact per-frame solves).
     J_l [N,3,B] frame-independent; returns delta_l [F,B]. No damping
-    (faithful to the reference)."""
+    (faithful to the reference).
+
+    Rank-safe: on near-constant-normal frames the order-2 basis Gram is
+    rank-deficient (the quadratic columns are collinear) and a jittered
+    dense solve explodes along the null space (measured: +-inf in the
+    nx^2-ny^2 / nx^2-nz^2 coefficients on a tiny flat-ish scene).  The
+    reference's Eigen CG never injects null-space components — from x0=0
+    it converges to the MIN-NORM solution — so the dense equivalent is a
+    clipped eigen-solve: directions with eigenvalue <= 1e-6 * lambda_max
+    contribute zero."""
     w = rd.w                                              # [N,F,3]
     H = jnp.einsum("nfc,ncb,ncd->fbd", w, J_l, J_l)
     g = jnp.einsum("nfc,ncb,nfc->fb", w, J_l, rd.r)
-    B = J_l.shape[-1]
-    jitter = 1e-8 * jnp.eye(B, dtype=H.dtype)
-    return jnp.linalg.solve(H + jitter, g[..., None])[..., 0]
+    vals, vecs = jnp.linalg.eigh(H)                       # [F,B], [F,B,B]
+    vmax = jnp.max(vals, axis=-1, keepdims=True)
+    inv = jnp.where(vals > jnp.maximum(vmax, 0.0) * 1e-6, 1.0 / vals, 0.0)
+    gv = jnp.einsum("fdb,fd->fb", vecs, g)                # V^T g
+    return jnp.einsum("fbd,fd->fb", vecs, inv * gv)       # V inv V^T g
 
 
 def solve_light_led(rd: ResidualData, J_l: jax.Array, damping: float) -> jax.Array:
