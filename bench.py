@@ -476,6 +476,13 @@ def main() -> int:
             refine = refine_bench.run(log)
         except Exception as e:  # keep the headline metric robust
             log(f"[bench] refine bench failed: {type(e).__name__}: {e}")
+        try:
+            # round-4 VERDICT #1: FULL alternation wall-clock to
+            # convergence, identical problem both sides
+            import refine_full_bench
+            refine.update(refine_full_bench.run(log))
+        except Exception as e:
+            log(f"[bench] refine full bench failed: {type(e).__name__}: {e}")
 
     result = {
         "metric": f"track_fuse_frames_per_s_{DIM}cube",
@@ -483,6 +490,9 @@ def main() -> int:
         "unit": "frames/s",
         "vs_baseline": round(tpu["fps"] / cpp["fps"], 3),
     }
+    if refine.get("refine_full_speedup") is not None:
+        # round-4 VERDICT #1: full-alternation ratio on the headline line
+        result["refine_full_speedup"] = refine["refine_full_speedup"]
     details = {
         **result,
         "baseline_fps": cpp["fps"],
