@@ -131,17 +131,20 @@ def run_tpu() -> dict:
 
     vol = make_volume(geom, T, frame_cap=64)
     fuse_kw = dict(truncation=T, zmin=0.5, zmax=3.5)
-    # steady-state tracking: STATIC control flow (fixed-trip, masked updates
-    # once converged) — dynamic while_loop trips host-sync per trip on this
-    # remote runtime (~2.4 ms each).  Budget 4 >= the scenario's measured
-    # convergence (~2 counted iterations/frame; the C++ side's early exit
-    # does 2.2/frame on the same scenario), one frozen-correspondence round
-    # so the hot voxel gather runs once per frame.
-    track_kw = dict(
-        truncation=T, zmin=0.5, zmax=3.5, num_iterations=4,
-        conv_threshold_sq=1e-6, damping=1.0, early_exit=False,
-        regather_every=4,
-    )
+    # steady-state tracking configs come from tracking/configs.py — the
+    # SAME dicts whose production-anchor ATE test_ate_parity pins
+    # (round-4 VERDICT #2: every fps is recorded next to its config and
+    # that config's ATE).  STREAMING = 2 gathers + 8 fixed-trip steps,
+    # ATE 0.695 mm (1.85x C++, sub-voxel); PARITY = 3 gathers + 12 steps,
+    # ATE 0.371 mm (BEATS the C++ reference's 0.375).  Round 4's timed
+    # chain used 1 gather + 4 steps — measured at 4.08 mm on the anchor
+    # in round 5 and therefore RETIRED from the headline
+    # (configs.STREAMING_FAST keeps the record).
+    from psgradientsdf_tpu.tracking import configs as track_configs
+
+    zrange = dict(truncation=T, zmin=0.5, zmax=3.5)
+    track_kw = dict(zrange, **track_configs.STREAMING)
+    track_kw_parity = dict(zrange, **track_configs.PARITY)
 
     # row-culled fusion capacity: size from the level-1 cull of this scene
     # (+5% pose-drift margin, multiple of 512 — the gather index count is
@@ -179,7 +182,7 @@ def run_tpu() -> dict:
     # SoA and Packed states cannot coexist (round-4 OOM).  The speedup
     # ratio vs the sequential chain is computed later once fuse_s exists.
     gt_batched_s = None
-    if DIM >= 256:
+    if True:   # all dims (round-4 VERDICT #6: no null fields in the record)
         from psgradientsdf_tpu.core.volume import fuse_frames_culled
 
         KB = 10
@@ -285,31 +288,35 @@ def run_tpu() -> dict:
     N1, N2 = 2, 2 + N_TIMED
 
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def run_chunks(st, off_m, s, *, n):
-        # SoA state carried through nested loops: measured best-of-layout
-        # at 128^3 (4.6 ms/frame vs 8.9 packed) and equal at 256^3
-        # (bench/wall_probe.py PSGSDF_PROBE_NESTED); the tracker's [V,8]
-        # payload repack happens in-program (~1.5 ms at 256^3)
-        def frame(gk, carry):
-            st, pose, iters, ovf = carry
-            seed = off_m @ pose
-            res = track_frame(st, geom, depth, K, seed, **track_kw)
-            st, ov = fuse_culled(
-                st, geom, color, depth, normals, nsq, K, res.pose,
-                jnp.int32(1) + (gk + s) % 60, **fuse_kw, row_capacity=CAP
-            )
-            return st, res.pose, iters + res.iterations, ovf | ov
+    def make_run_chunks(tkw):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def run_chunks(st, off_m, s, *, n):
+            # SoA state carried through nested loops: measured
+            # best-of-layout at 128^3 (4.6 ms/frame vs 8.9 packed) and
+            # equal at 256^3 (bench/wall_probe.py PSGSDF_PROBE_NESTED);
+            # the tracker's [V,8] payload repack happens in-program
+            def frame(gk, carry):
+                st, pose, iters, ovf = carry
+                seed = off_m @ pose
+                res = track_frame(st, geom, depth, K, seed, **tkw)
+                st, ov = fuse_culled(
+                    st, geom, color, depth, normals, nsq, K, res.pose,
+                    jnp.int32(1) + (gk + s) % 60, **fuse_kw,
+                    row_capacity=CAP
+                )
+                return st, res.pose, iters + res.iterations, ovf | ov
 
-        def chunk(c, carry):
-            return jax.lax.fori_loop(
-                0, CHUNK, lambda k, cr: frame(c * CHUNK + k, cr), carry)
+            def chunk(c, carry):
+                return jax.lax.fori_loop(
+                    0, CHUNK, lambda k, cr: frame(c * CHUNK + k, cr), carry)
 
-        st, pose, iters, ovf = jax.lax.fori_loop(
-            0, n, chunk, (st, eye, jnp.int32(0), jnp.bool_(False)))
-        # scalar fence, data-dependent on the full state evolution
-        return (state_sum(st) + jnp.sum(pose), iters,
-                ovf.astype(jnp.int32))
+            st, pose, iters, ovf = jax.lax.fori_loop(
+                0, n, chunk, (st, eye, jnp.int32(0), jnp.bool_(False)))
+            # scalar fence, data-dependent on the full state evolution
+            return (state_sum(st) + jnp.sum(pose), iters,
+                    ovf.astype(jnp.int32))
+
+        return run_chunks
 
     # warm/compile both trip counts (distinct seeds: the runtime memoizes
     # same-input executions)
@@ -319,28 +326,35 @@ def run_tpu() -> dict:
         seed_i[0] += 1
         return jnp.int32(seed_i[0])
 
-    f_n1 = functools.partial(run_chunks, n=N1)
-    f_n2 = functools.partial(run_chunks, n=N2)
-    r1 = f_n1(state0, off, seed())
-    _ = float(r1[0])
-    r2 = f_n2(state0, off, seed())
-    _ = float(r2[0])
-    assert int(r2[2]) == 0, "fusion cull capacity overflow in warmup"
-    dt = 1e18
-    its = None
-    for _rep in range(3):
-        t0 = time.perf_counter()
-        ra = f_n1(state0, off, seed())
-        _ = float(ra[0])
-        t1 = time.perf_counter()
-        rb = f_n2(state0, off, seed())
-        _ = float(rb[0])
-        t2 = time.perf_counter()
-        dt = min(dt, (t2 - t1) - (t1 - t0))
-        its = rb[1]
-        assert int(rb[2]) == 0, "fusion cull capacity overflow in timed run"
-    fps = FRAMES_TPU / dt
-    iters = int(its)
+    def time_chain(run_chunks):
+        f_n1 = functools.partial(run_chunks, n=N1)
+        f_n2 = functools.partial(run_chunks, n=N2)
+        r1 = f_n1(state0, off, seed())
+        _ = float(r1[0])
+        r2 = f_n2(state0, off, seed())
+        _ = float(r2[0])
+        assert int(r2[2]) == 0, "fusion cull capacity overflow in warmup"
+        dt = 1e18
+        its = None
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            ra = f_n1(state0, off, seed())
+            _ = float(ra[0])
+            t1 = time.perf_counter()
+            rb = f_n2(state0, off, seed())
+            _ = float(rb[0])
+            t2 = time.perf_counter()
+            dt = min(dt, (t2 - t1) - (t1 - t0))
+            its = rb[1]
+            assert int(rb[2]) == 0, "fusion cull overflow in timed run"
+        return FRAMES_TPU / dt, int(its)
+
+    fps, iters = time_chain(make_run_chunks(track_kw))
+    log(f"[bench] streaming chain: {fps:.1f} fps")
+    # second headline pair (round-4 VERDICT #2): the ATE-PARITY tracker
+    # config (3 gathers + 12 steps; production ATE 0.371 mm, beats C++)
+    fps_parity, iters_parity = time_chain(make_run_chunks(track_kw_parity))
+    log(f"[bench] parity chain: {fps_parity:.1f} fps")
 
     # auditable fusion floor (round-2 VERDICT #7): fusion-only chain,
     # same marginal protocol -> ns per gather index, bytes moved/s, and
@@ -434,21 +448,33 @@ def run_tpu() -> dict:
     iters_per_s = time_track50(1)
 
     extra = {}
-    if DIM >= 256:
-        # ---- round-4 VERDICT #4: the reference's own pixel-subsampling
-        # lever (optimize_sampled, RigidPointOptimizer.h:36-43) at scale.
-        # ATE cost pinned at the production anchor (+8% at stride 2,
-        # test_ate_parity.py::test_ate_production_anchor); the headline
-        # stays the reference operating config (stride 1).
-        extra["gn_iters_per_s_stride2"] = time_track50(2)
-        if gt_batched_s is not None:
-            # measured right after map build (SoA-only residency)
-            extra["gt_fusion_batched_ms_per_frame"] = round(
-                gt_batched_s * 1e3, 3)
-            extra["gt_fusion_batched_speedup_vs_sequential"] = round(
-                fuse_s / gt_batched_s, 3)
+    # the reference's own pixel-subsampling lever (optimize_sampled,
+    # RigidPointOptimizer.h:36-43) — measured at EVERY dim (round-4
+    # VERDICT #6: no null fields in the record); its ATE cost is pinned
+    # at the production anchor (+9% at stride 2, tracking/configs.py)
+    extra["gn_iters_per_s_stride2"] = time_track50(2)
+    if gt_batched_s is not None:
+        # measured right after map build (SoA-only residency)
+        extra["gt_fusion_batched_ms_per_frame"] = round(
+            gt_batched_s * 1e3, 3)
+        extra["gt_fusion_batched_speedup_vs_sequential"] = round(
+            fuse_s / gt_batched_s, 3)
 
-    return dict(fps=fps, per_frame_s=dt / FRAMES_TPU, gn_iters=iters,
+    # round-4 VERDICT #2: the configs behind the two fps numbers, with
+    # their pinned production-anchor ATE — and an assert that what this
+    # bench timed IS what the ATE test measures (same dict object).
+    from psgradientsdf_tpu.tracking import configs as _tc
+
+    assert {k: track_kw[k] for k in _tc.STREAMING} == _tc.STREAMING
+    assert {k: track_kw_parity[k] for k in _tc.PARITY} == _tc.PARITY
+    extra["tracker_config"] = dict(_tc.STREAMING)
+    extra["tracker_config_production_ate_m"] = _tc.PRODUCTION_ATE_M["streaming"]
+    extra["parity_tracker_config"] = dict(_tc.PARITY)
+    extra["parity_production_ate_m"] = _tc.PRODUCTION_ATE_M["parity"]
+    extra["cpp_production_ate_m"] = _tc.PRODUCTION_ATE_M["cpp"]
+
+    return dict(fps=fps, per_frame_s=1.0 / fps, gn_iters=iters,
+                fps_parity=fps_parity, gn_iters_parity=iters_parity,
                 gn_iters_per_s=iters_per_s, backend=jax.default_backend(),
                 fuse_ms_per_frame=round(fuse_s * 1e3, 3),
                 fuse_gather_idx=n_idx,
@@ -489,12 +515,23 @@ def main() -> int:
         "value": round(tpu["fps"], 3),
         "unit": "frames/s",
         "vs_baseline": round(tpu["fps"] / cpp["fps"], 3),
+        # round-4 VERDICT #2: the headline fps is coupled to its pinned
+        # production-anchor ATE, and the second pair (ATE-parity tracker,
+        # beats the C++ reference's accuracy) rides along
+        "production_ate_m": tpu.get("tracker_config_production_ate_m"),
+        "fps_ate_parity": round(tpu.get("fps_parity", 0.0), 3),
+        "ate_parity_m": tpu.get("parity_production_ate_m"),
     }
     if refine.get("refine_full_speedup") is not None:
         # round-4 VERDICT #1: full-alternation ratio on the headline line
         result["refine_full_speedup"] = refine["refine_full_speedup"]
     details = {
         **result,
+        "fps_parity_vs_baseline": round(
+            tpu.get("fps_parity", 0.0) / cpp["fps"], 3),
+        "tracker_config": tpu.get("tracker_config"),
+        "parity_tracker_config": tpu.get("parity_tracker_config"),
+        "cpp_production_ate_m": tpu.get("cpp_production_ate_m"),
         "baseline_fps": cpp["fps"],
         "baseline_gn_iters_per_s": cpp["gn_iters_per_s"],
         "tpu_gn_iters_per_s": tpu["gn_iters_per_s"],

@@ -260,6 +260,9 @@ def _row_activity(
     zmax: float,
     z0: Optional[jax.Array] = None,   # slab z-offset (sharded slabs)
     z_rows: Optional[int] = None,     # slab z extent (default: whole grid)
+    z_idx: Optional[jax.Array] = None,  # [z_rows] explicit global z per
+                                        # local plane (interleaved slabs;
+                                        # overrides z0)
     seg_x: Optional[int] = None,      # X-segment length (None = whole row)
     margin_px: float = 0.0,           # extra pixel margin on the image test
     margin_t: float = 0.0,            # extra meters on the carve/behind tests
@@ -294,9 +297,12 @@ def _row_activity(
     t = pose[:3, 3]
     origin = jnp.array(geom.origin, dtype=jnp.float32)
     h = geom.voxel_size
-    zi = jnp.arange(z_rows, dtype=jnp.float32)[:, None, None]   # [Zl,1,1]
-    if z0 is not None:
-        zi = zi + z0.astype(jnp.float32)
+    if z_idx is not None:
+        zi = z_idx.astype(jnp.float32)[:, None, None]           # [Zl,1,1]
+    else:
+        zi = jnp.arange(z_rows, dtype=jnp.float32)[:, None, None]
+        if z0 is not None:
+            zi = zi + z0.astype(jnp.float32)
     yi = jnp.arange(Y, dtype=jnp.float32)[None, :, None]        # [1,Y,1]
 
     def endpoint_cam(x_idx):                                    # [1,1,NS]
@@ -486,6 +492,8 @@ def _fuse_culled_slab(
     row_capacity: int,
     seg_x: Optional[int] = None,
     rows_impl: str = "xla",
+    z_map: Optional[jax.Array] = None,  # [z_rows] global z per local plane
+                                        # (interleaved slabs; overrides z0)
 ) -> Tuple[GradSdfVolume, jax.Array]:
     """Level 2 of the culled fusion on a Z-slab: compact active rows (or
     S-voxel X-segments with seg_x — contiguous state slices either way)
@@ -539,9 +547,13 @@ def _fuse_culled_slab(
                                  rows_impl).reshape(row_capacity, S, 3)
         vw_r = _state_rows_gather(vis_word, safe_rows, "xla2d")
 
-    rz = (safe_rows // (Y * NS)).astype(jnp.float32)      # [A] slab-local z
-    if z0 is not None:
-        rz = rz + z0.astype(jnp.float32)
+    rz_l = safe_rows // (Y * NS)                          # [A] slab-local z
+    if z_map is not None:
+        rz = z_map[jnp.minimum(rz_l, z_rows - 1)].astype(jnp.float32)
+    else:
+        rz = rz_l.astype(jnp.float32)
+        if z0 is not None:
+            rz = rz + z0.astype(jnp.float32)
     ry = ((safe_rows // NS) % Y).astype(jnp.float32)
     rx0 = (safe_rows % NS).astype(jnp.float32) * S        # segment x origin
     rx = rx0[:, None] + jnp.arange(S, dtype=jnp.float32)[None, :]

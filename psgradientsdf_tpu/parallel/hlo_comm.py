@@ -57,13 +57,19 @@ def collective_ops(hlo_text: str) -> List[Tuple[str, str, int]]:
     out = []
     for line in hlo_text.splitlines():
         s = line.strip()
-        # result shape appears between '=' and the op name
+        eq = s.find(" = ")
+        if eq < 0:
+            continue
+        rhs = s[eq + 3:]
+        # result shape(s) appear between '=' and the op name; layout
+        # annotations like {1,0} or {0,1:T(8,128)} may follow each shape
         for kind in _COLLECTIVES:
-            m = re.search(
-                r"=\s*(\(?[\w\[\],\s]*\)?)\s*" + kind + r"(-start)?\(", s)
+            m = re.search(r"(?:^|\s)" + kind + r"(-start)?\(", rhs)
             if m is None:
                 continue
-            shape_txt = m.group(1)
+            shape_txt = rhs[:m.start()]
+            # drop layout annotations so they are not parsed as shapes
+            shape_txt = re.sub(r"\{[^}]*\}", "", shape_txt)
             total = sum(_shape_bytes(tok.group(0))
                         for tok in _SHAPE_RE.finditer(shape_txt))
             out.append((kind, shape_txt.strip(), total))

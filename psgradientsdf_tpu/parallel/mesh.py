@@ -51,6 +51,46 @@ def volume_specs() -> GradSdfVolume:
     )
 
 
+def _permute_z(vol: GradSdfVolume, n_z: int, inverse: bool) -> GradSdfVolume:
+    Z = vol.dist.shape[0]
+    assert Z % n_z == 0
+    Zl = Z // n_z
+
+    def one(arr, z_axis):
+        pre = arr.shape[:z_axis]
+        post = arr.shape[z_axis + 1:]
+        if inverse:
+            # stored [n_z, Zl] blocks -> logical z = local*n_z + shard
+            a = arr.reshape(pre + (n_z, Zl) + post)
+            a = jax.numpy.swapaxes(a, z_axis, z_axis + 1)
+        else:
+            # logical z = i -> stored block (i % n_z), local (i // n_z)
+            a = arr.reshape(pre + (Zl, n_z) + post)
+            a = jax.numpy.swapaxes(a, z_axis, z_axis + 1)
+        return a.reshape(arr.shape)
+
+    return GradSdfVolume(
+        dist=one(vol.dist, 0), grad=one(vol.grad, 0),
+        weight=one(vol.weight, 0), color=one(vol.color, 0),
+        vis=one(vol.vis, 1),
+    )
+
+
+def interleave_volume(vol: GradSdfVolume, n_z: int) -> GradSdfVolume:
+    """Reorder Z planes into the strided-interleave layout: stored plane
+    (k*Zl + i) = logical plane (i*n_z + k), so Z-slab shard k holds the
+    strided global planes {k, k+n_z, ...}.  Used with the interleave_z
+    option of the sharded fusion/tracking kernels (parallel/shard.py) to
+    balance per-chip cull counts on frustum scenes.  Pure relabeling —
+    O(volume copy), no communication."""
+    return _permute_z(vol, n_z, inverse=False)
+
+
+def deinterleave_volume(vol: GradSdfVolume, n_z: int) -> GradSdfVolume:
+    """Inverse of interleave_volume (back to logical plane order)."""
+    return _permute_z(vol, n_z, inverse=True)
+
+
 def shard_volume(vol: GradSdfVolume, mesh: Mesh) -> GradSdfVolume:
     """Place a volume on the mesh as Z-slabs (replicated over `frames`)."""
     specs = volume_specs()

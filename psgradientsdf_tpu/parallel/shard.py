@@ -65,12 +65,23 @@ def sharded_fuse_frame_culled_fn(
     zmax: float,
     cos_thresh_sq: float = 0.25 * 0.25,
     row_capacity: int,
+    interleave_z: bool = False,
 ):
     """Per-slab row-culled fusion under shard_map (traceable; compose inside
     jitted programs).  Each Z-slab runs the level-1 cull on its own rows
     (core/volume._row_activity with the slab offset) and the shared level-2
     compact/gather/update/scatter — all slab-local, zero communication
     except ONE psum of the overflow flag.  `row_capacity` is PER SHARD.
+
+    interleave_z=True assigns shard k the STRIDED global planes
+    {k, k+n_z, k+2*n_z, ...} instead of a contiguous slab (the volume must
+    be stored in the interleaved layout — parallel/mesh.interleave_volume).
+    Fusion is purely per-voxel, so any plane assignment is valid with the
+    same zero communication; striding balances the per-chip active-row
+    counts on frustum scenes where contiguous slabs are up to ~7x skewed
+    (bench/scaling_model.py measures both) — the camera frustum
+    concentrates in a few contiguous Z-slabs but touches every residue
+    class nearly equally.
 
     Returns fn(vol, color, depth, normals, n_sq_inv, K, pose, frame_idx,
     gate=None) -> (vol, overflowed)."""
@@ -88,10 +99,18 @@ def sharded_fuse_frame_culled_fn(
 
     def body(vol_slab, color, depth, normals, n_sq_inv, K, pose, frame_idx,
              gate):
-        z0 = jax.lax.axis_index(Z_AXIS) * Zl
-        active = _row_activity(
-            geom, depth, K, pose, truncation=truncation, zmin=zmin,
-            zmax=zmax, z0=z0, z_rows=Zl)
+        k = jax.lax.axis_index(Z_AXIS)
+        if interleave_z:
+            z_idx = k + n_z * jnp.arange(Zl, dtype=jnp.int32)
+            z0, z_map = None, z_idx
+            active = _row_activity(
+                geom, depth, K, pose, truncation=truncation, zmin=zmin,
+                zmax=zmax, z_rows=Zl, z_idx=z_idx)
+        else:
+            z0, z_map = k * Zl, None
+            active = _row_activity(
+                geom, depth, K, pose, truncation=truncation, zmin=zmin,
+                zmax=zmax, z0=z0, z_rows=Zl)
         gate_s = gate[0]
         active = active & gate_s
         pix_payload = pack_pixel_payload(color, depth, normals, n_sq_inv)
@@ -100,6 +119,7 @@ def sharded_fuse_frame_culled_fn(
             depth.shape, frame_idx, gate_s,
             truncation=truncation, zmin=zmin, zmax=zmax,
             cos_thresh_sq=cos_thresh_sq, row_capacity=row_capacity,
+            z_map=z_map,
         )
         ov = jax.lax.psum(overflow.astype(jnp.int32), Z_AXIS) > 0
         return new_slab, ov
@@ -133,6 +153,7 @@ def sharded_tracker_fn(
     regather_every: int = 1,
     early_exit: bool = False,
     stride: int = 1,
+    interleave_z: bool = False,
 ):
     """The shard_map'd multi-chip GN tracker over Z-slab volume shards —
     traceable, so it composes inside larger jitted programs (the stream
@@ -164,7 +185,8 @@ def sharded_tracker_fn(
     out_specs = (P(), P(), P(), P(), P())
 
     def tracker_body(vol_slab: GradSdfVolume, depth, K, init_pose):
-        z0 = jax.lax.axis_index(Z_AXIS) * Zl
+        shard_k = jax.lax.axis_index(Z_AXIS)
+        z0 = shard_k * Zl
         fx, fy = K[0, 0], K[1, 1]
         cx, cy = K[0, 2], K[1, 2]
         # `depth` arrives pre-subsampled when stride > 1; reconstruct the
@@ -206,8 +228,13 @@ def sharded_tracker_fn(
             valid = jnp.all((f > 0.0) & (f < dims_f - 1.0), axis=-1)
             idx = jnp.floor(f + 0.5).astype(jnp.int32)
             zi = idx[..., 2]
-            in_slab = (zi >= z0) & (zi < z0 + Zl)
-            zl = jnp.clip(zi - z0, 0, Zl - 1)
+            if interleave_z:
+                # strided plane assignment (see sharded_fuse_frame_culled_fn)
+                in_slab = (zi % n_z) == shard_k
+                zl = jnp.clip(zi // n_z, 0, Zl - 1)
+            else:
+                in_slab = (zi >= z0) & (zi < z0 + Zl)
+                zl = jnp.clip(zi - z0, 0, Zl - 1)
             yi = jnp.clip(idx[..., 1], 0, Y - 1)
             xi = jnp.clip(idx[..., 0], 0, X - 1)
             rows = jnp.take(payload, (zl * Y + yi) * X + xi, axis=0)
