@@ -410,7 +410,9 @@ def run_tpu() -> dict:
     # bad tunnel day does not.
     _NS_BOUND = {128: 6.5, 192: 8.0, 256: 8.5, 512: 8.0}
     bound = _NS_BOUND.get(DIM, 10.0)
-    assert fuse_ns_per_idx <= bound, (
+    # the regime bound is a TPU emitter/layout regression guard; a CPU
+    # smoke run (structure validation) is orders of magnitude off it
+    assert fuse_ns_per_idx <= bound or jax.default_backend() == "cpu", (
         f"fusion kernel left its {DIM}^3 regime: {fuse_ns_per_idx:.2f} "
         f"ns/idx (bound {bound})")
 

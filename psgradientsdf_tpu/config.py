@@ -194,6 +194,28 @@ def parse_config(cfg: dict, save_copy: bool = True) -> PipelineConfig:
             setattr(opt, attr, bool(cfg[flag]))
 
     tpu = TpuConfig()
+    if "track config" in cfg:
+        # named tracker configuration with a PINNED production-anchor ATE
+        # (tracking/configs.py): "reference" (the C++ semantics),
+        # "streaming" (2 gathers + 8 fixed-trip steps, 0.695 mm), or
+        # "parity" (3 gathers + 12 steps, 0.371 mm — beats the C++
+        # reference).  Maps onto the explicit knobs below; explicit keys
+        # after this one still override.
+        from psgradientsdf_tpu.tracking import configs as _tcfg
+
+        name = str(cfg["track config"]).lower()
+        named = {"reference": _tcfg.REFERENCE, "streaming": _tcfg.STREAMING,
+                 "parity": _tcfg.PARITY}
+        if name not in named:
+            raise ValueError(
+                f"track config {name!r} is not one of {sorted(named)}")
+        sel = named[name]
+        trac.num_iterations = sel["num_iterations"]
+        trac.conv_threshold = float(sel["conv_threshold_sq"]) ** 0.5
+        trac.damping = sel["damping"]
+        tpu.track_regather = sel["regather_every"]
+        tpu.track_static = not sel["early_exit"]
+        tpu.track_stride = sel["stride"]
     if "grid dim" in cfg:
         g = cfg["grid dim"]
         tpu.grid_dim = (g, g, g) if isinstance(g, int) else tuple(g)
