@@ -91,6 +91,12 @@ class TpuConfig:
     keyframe_cap: int = 40        # max keyframes in refinement (main_ps.cpp:312)
     mesh_z: int = 1               # voxel-grid Z-slab sharding axis size
     mesh_frames: int = 1          # keyframe sharding axis size
+    mesh_interleave_z: bool = False  # strided plane assignment for the
+                                  # scan (shard k owns planes == k mod N):
+                                  # balances per-chip cull counts on
+                                  # frustum scenes (+-1% vs up to 7x skew,
+                                  # SCALING_512.json); requires the culled
+                                  # fusion path (fuse_rows > 0)
     track_stride: int = 1         # pixel sub-sampling in tracking
     track_regather: int = 1       # GN iterations per correspondence gather
     track_static: bool = False    # fixed-trip masked GN (no while_loop):
@@ -228,6 +234,7 @@ def parse_config(cfg: dict, save_copy: bool = True) -> PipelineConfig:
         ms = cfg["mesh shape"]
         tpu.mesh_z = int(ms.get("z", 1))
         tpu.mesh_frames = int(ms.get("frames", 1))
+        tpu.mesh_interleave_z = bool(ms.get("interleave", False))
     if "track stride" in cfg:
         tpu.track_stride = int(cfg["track stride"])
     if "track regather" in cfg:

@@ -126,6 +126,11 @@ class ReconstructionPipeline:
                     cfg.tpu.mesh_z, cfg.tpu.mesh_frames)
             else:
                 self.mesh = make_mesh(cfg.tpu.mesh_z, cfg.tpu.mesh_frames)
+        if cfg.tpu.mesh_interleave_z and (
+                self.mesh is None or cfg.tpu.fuse_rows <= 0):
+            raise ValueError(
+                "mesh interleave requires a z-sharded mesh and the culled "
+                "fusion path ('fuse rows' > 0)")
         base = loader or make_loader(cfg.tracking.datatype, cfg.tracking.input)
         # decode-ahead workers hide PNG decode behind device compute; raw mode
         # ships uint8/uint16 over the wire (3.7x less host->device transfer,
@@ -234,6 +239,7 @@ class ReconstructionPipeline:
                 from psgradientsdf_tpu.parallel.mesh import shard_volume
 
                 self.vol = shard_volume(self.vol, self.mesh)
+            self.vol = self._scan_layout(self.vol, to_interleaved=True)
             cur_pose = np.asarray(state.cur_pose, np.float32)
             pose_lines = list(state.pose_lines)
             key_indices = list(state.key_indices)
@@ -267,6 +273,7 @@ class ReconstructionPipeline:
             self.timer.toc("create_sdf", self.vol.dist)
             cur_pose = base_pose
             self._fuse(color, depth, jnp.asarray(base_pose), 0)
+            self.vol = self._scan_layout(self.vol, to_interleaved=True)
             key_stamps.append(self.loader.rgb_timestamp)
             # store the WIRE-format image (raw uint8 under the prefetch
             # loader), matching what the chunk gate stores for every other
@@ -343,6 +350,8 @@ class ReconstructionPipeline:
                 early_exit=not cfg.tpu.track_static,
                 mesh=self.mesh,
                 fuse_row_capacity=self._fuse_cap,
+                interleave_z=(self.mesh is not None
+                              and cfg.tpu.mesh_interleave_z),
             )
 
         def _overflowed(res) -> bool:
@@ -445,7 +454,8 @@ class ReconstructionPipeline:
                 # into self.vol, and resume would re-fuse its frames
                 ckpt.save_scan_state(
                     os.path.join(tr.output, "scan_checkpoint.npz"),
-                    rec["vol_after"], self.geom,
+                    self._scan_layout(rec["vol_after"],
+                                      to_interleaved=False), self.geom,
                     ckpt.ScanState(
                         next_frame=next_frame, cur_pose=cur_pose,
                         pose_lines=pose_lines, key_indices=key_indices,
@@ -478,6 +488,7 @@ class ReconstructionPipeline:
             collect(pending[0])
             pending[0] = None
 
+        self.vol = self._scan_layout(self.vol, to_interleaved=False)
         scan_secs = time.perf_counter() - t_scan
         self.metrics.log(
             "scan_done", frames=frames_done, seconds=scan_secs,
@@ -618,6 +629,21 @@ class ReconstructionPipeline:
         return summary
 
     # ------------------------------------------------------------ helpers
+
+    def _scan_layout(self, vol, to_interleaved: bool):
+        """Move the volume between the logical plane order and the scan's
+        strided-interleave layout (parallel/mesh.interleave_volume) when
+        the config asks for a balanced multi-chip scan."""
+        if self.mesh is None or not self.cfg.tpu.mesh_interleave_z:
+            return vol
+        from psgradientsdf_tpu.parallel.mesh import (
+            deinterleave_volume, interleave_volume, shard_volume,
+        )
+
+        n_z = self.cfg.tpu.mesh_z
+        vol = (interleave_volume(vol, n_z) if to_interleaved
+               else deinterleave_volume(vol, n_z))
+        return shard_volume(vol, self.mesh)
 
     def _vis_frame_id(self, frame_counter: int) -> int:
         """Visibility bit index for a frame counter; frames beyond the

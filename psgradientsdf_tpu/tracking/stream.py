@@ -85,7 +85,7 @@ def _preprocess(depths: jax.Array, colors: jax.Array, fals: FalsCache,
     static_argnames=(
         "geom", "truncation", "zmin", "zmax", "num_iterations", "stride",
         "use_gt", "depth_unit", "regather_every", "early_exit", "mesh",
-        "fuse_row_capacity",
+        "fuse_row_capacity", "interleave_z",
     ),
 )
 def _chunk_step(
@@ -114,6 +114,7 @@ def _chunk_step(
     early_exit: bool = True,
     mesh=None,
     fuse_row_capacity: int = 0,
+    interleave_z: bool = False,
 ):
     """One frame: masked GN track + gated fuse, all static control flow.
 
@@ -142,7 +143,7 @@ def _chunk_step(
                 num_iterations=num_iterations,
                 conv_threshold_sq=conv_threshold_sq, damping=damping,
                 regather_every=regather_every, early_exit=False,
-                stride=stride,
+                stride=stride, interleave_z=interleave_z,
             )
             res = track(vol, depth_t, K, pose)
         else:
@@ -178,7 +179,7 @@ def _chunk_step(
         cap_shard = -(-fuse_row_capacity // mesh.shape[Z_AXIS])
         fuse_sh = sharded_fuse_frame_culled_fn(
             mesh, geom, truncation=truncation, zmin=zmin, zmax=zmax,
-            row_capacity=cap_shard,
+            row_capacity=cap_shard, interleave_z=interleave_z,
         )
         vol, overflow = fuse_sh(
             vol, color, depth, n_img, n_sq_inv, K, new_pose, fid, do_fuse)
@@ -227,6 +228,7 @@ def process_chunk(
     early_exit: bool = True,
     mesh=None,
     fuse_row_capacity: int = 0,
+    interleave_z: bool = False,
 ) -> Tuple[GradSdfVolume, ChunkResult]:
     """Track + fuse a chunk of frames with pipelined dispatch.
 
@@ -246,7 +248,7 @@ def process_chunk(
         num_iterations=num_iterations, conv_threshold_sq=conv_threshold_sq,
         damping=damping, stride=stride, use_gt=use_gt, depth_unit=depth_unit,
         regather_every=regather_every, early_exit=early_exit, mesh=mesh,
-        fuse_row_capacity=fuse_row_capacity,
+        fuse_row_capacity=fuse_row_capacity, interleave_z=interleave_z,
     )
     pose = init_pose
     outs = []

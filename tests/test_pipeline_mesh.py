@@ -201,3 +201,52 @@ def test_pipeline_mesh_tracking(tmp_path):
     # both track well (same bound as the single-device e2e test) and agree
     assert ates["mesh"] < 0.01, ates
     assert abs(ates["mesh"] - ates["single"]) < 2e-3, ates
+
+
+def test_pipeline_mesh_interleaved_matches(tmp_path):
+    """The balanced-scan layout ("mesh shape": {"interleave": true}) from
+    the product entry point: interleaved Z-plane assignment during the
+    scan (parallel/shard.py interleave_z), deinterleaved back to logical
+    order at scan end — the final volume and trajectory must match the
+    contiguous-slab mesh run exactly (the kernels are bit-identical per
+    plane; only the plane->chip assignment differs)."""
+    data = str(tmp_path / "data") + "/"
+    make_led_dataset(data)
+
+    results = {}
+    for tag, ms in (("contig", {"z": 4, "frames": 2}),
+                    ("inter", {"z": 4, "frames": 2, "interleave": True})):
+        out = str(tmp_path / f"out_{tag}") + "/"
+        raw = _base_cfg(data, out)
+        raw["mesh shape"] = ms
+        # tracked (non-GT) mode exercises the interleaved sharded tracker
+        raw["pose filename"] = "no_such_pose.txt"
+        cfg = parse_config(raw)
+        pipe = ReconstructionPipeline(cfg, prefetch=False)
+        summary = pipe.run(refine=False)
+        results[tag] = dict(
+            summary=summary,
+            dist=np.asarray(pipe.vol.dist),
+            weight=np.asarray(pipe.vol.weight),
+            vis=np.asarray(pipe.vol.vis),
+            traj=open(os.path.join(out, "tracking_poses.txt")).read(),
+            out=out,
+        )
+
+    c, i = results["contig"], results["inter"]
+    assert c["summary"]["frames"] == i["summary"]["frames"]
+    # fusion planes are bit-identical; tracking Gram psums reassociate the
+    # same per-pixel terms (different shard partition of the same sum), so
+    # poses agree to f32 reduction noise and fusion follows them
+    np.testing.assert_allclose(i["dist"], c["dist"], atol=1e-5)
+    np.testing.assert_allclose(i["weight"], c["weight"], atol=1e-4)
+    assert i["traj"].splitlines()[0] == c["traj"].splitlines()[0]
+
+
+def test_interleave_without_mesh_rejected(tmp_path):
+    data = str(tmp_path / "data") + "/"
+    make_led_dataset(data, n_frames=2)
+    raw = _base_cfg(data, str(tmp_path / "out") + "/")
+    raw["mesh shape"] = {"interleave": True}     # z=1: no mesh
+    with pytest.raises(ValueError, match="interleave"):
+        ReconstructionPipeline(parse_config(raw), prefetch=False)
