@@ -332,6 +332,85 @@ def _joint_dp_step(prob, geom, dist, albedo, grad_stored, poses, images, K, ligh
     return new_dist, new_grad, new_poses, e
 
 
+def _iteration_core(prob, geom, dist, albedo, grad_stored, poses, images, K,
+                    lights, *, model, order, loss, lam, voxel_size,
+                    reg_weight_n, reg_weight_l, reg_weight_rho, damping,
+                    laplacian_diag_only, do_light, do_albedo, do_distance,
+                    do_pose, joint_dp):
+    """ONE full alternating iteration — every enabled block plus its
+    residual refresh and post-block energies — as a single program.
+
+    The shared-residual loop (round 3) optimized the COMPILE census (one
+    residual program + small epilogues); on the tunneled runtime its
+    ~12-16 host-synced dispatches per iteration cost ~0.3-0.4 s of pure
+    RPC latency, which dominates the loop at bench problem sizes
+    (N≈23k, F=20: ~1.0 s/iteration measured, vs ~0.4 s for the C++ full
+    loop — round-5 refine_full_bench).  This fused form trades one extra
+    leading residual pass per iteration for a single dispatch; block and
+    energy semantics are IDENTICAL (same cores, same refresh points —
+    PsOptimizer.cpp:303-366 order), pinned by
+    test_refine_optimizer.py::test_fused_iteration_matches_blocks.
+
+    Returns (dist, albedo, grad_stored, poses, lights, energies) with
+    `energies` a tuple of (E, E_n, E_l, E_r) after each enabled block, in
+    block order.
+    """
+    kw = dict(model=model, order=order, loss=loss, lam=lam,
+              voxel_size=voxel_size)
+    ekw = dict(loss=loss, lam=lam, voxel_size=voxel_size)
+
+    def refresh():
+        rd = _residuals.__wrapped__(
+            prob, geom, dist, albedo, grad_stored, poses, images, K, lights,
+            **kw)
+        return rd, _energy_from_rd.__wrapped__(prob, rd, dist, albedo, **ekw)
+
+    rd, _ = refresh()
+    energies = []
+    if do_albedo:
+        albedo = _albedo_core(
+            prob, geom, rd, dist, albedo, grad_stored, poses, K, lights,
+            **kw, reg_weight_rho=reg_weight_rho, damping=damping)
+        rd, e = refresh()
+        energies.append(e)
+    if do_light:
+        lights = _light_core(
+            prob, geom, rd, dist, albedo, grad_stored, poses, K, lights,
+            **kw, damping=damping)
+        rd, e = refresh()
+        energies.append(e)
+    if do_distance and do_pose and joint_dp:
+        dist, grad_stored, poses = _joint_dp_core(
+            prob, geom, rd, dist, albedo, grad_stored, poses, K, lights,
+            **kw, reg_weight_n=reg_weight_n, reg_weight_l=reg_weight_l,
+            damping=damping, laplacian_diag_only=laplacian_diag_only)
+        rd, e = refresh()
+        energies.append(e)
+    else:
+        if do_distance:
+            dist, grad_stored = _dist_core(
+                prob, geom, rd, dist, albedo, grad_stored, poses, K, lights,
+                **kw, reg_weight_n=reg_weight_n, reg_weight_l=reg_weight_l,
+                damping=damping, laplacian_diag_only=laplacian_diag_only)
+            rd, e = refresh()
+            energies.append(e)
+        if do_pose:
+            poses = _pose_core(
+                prob, geom, rd, dist, albedo, grad_stored, poses, K, lights,
+                **kw, damping=damping)
+            rd, e = refresh()
+            energies.append(e)
+    return dist, albedo, grad_stored, poses, lights, tuple(energies)
+
+
+_iteration_update = functools.partial(
+    jax.jit, static_argnames=(
+        "geom", "model", "order", "loss", "lam", "voxel_size",
+        "reg_weight_n", "reg_weight_l", "reg_weight_rho", "damping",
+        "laplacian_diag_only", "do_light", "do_albedo", "do_distance",
+        "do_pose", "joint_dp"))(_iteration_core)
+
+
 @functools.partial(jax.jit, static_argnames=("geom", "voxel_size"))
 def _init_albedo(prob, geom, dist, grad_stored, poses, images, K, voxel_size):
     """Mean observed intensity over visible keyframes (Optimizer.cpp:50-81)."""
@@ -381,6 +460,12 @@ class PhotometricRefiner:
         self.truncation = truncation
         self.metrics = metrics or MetricsLogger(None, echo=True)
         self.laplacian_diag_only = laplacian_diag_only
+        # one fused program per outer iteration (round 5): eliminates the
+        # ~12-16 host-synced dispatches/iteration whose RPC latency
+        # dominates the loop on tunneled runtimes; identical block/energy
+        # semantics (see _iteration_core).  cfg.fused_iterations=False
+        # restores the per-block dispatch path.
+        self.fused_iterations = bool(getattr(cfg, "fused_iterations", True))
         self.images = None
         self.poses = None
         self.keyframe_indices: List[int] = []
@@ -532,6 +617,17 @@ class PhotometricRefiner:
 
         rd_s = jax.eval_shape(_res_shape, args[0], *args[2:])
         argd = (args[0], geom, rd_s) + args[2:5] + (args[5], args[7], args[8])
+
+        if self.fused_iterations:
+            # the loop compiles exactly one program: the fused iteration
+            jobs = [("iteration", lambda: _iteration_update.lower(
+                *args, **skw, reg_weight_n=w_n, reg_weight_l=w_l,
+                reg_weight_rho=w_rho, damping=damping,
+                laplacian_diag_only=self.laplacian_diag_only,
+                do_light=light, do_albedo=albedo, do_distance=distance,
+                do_pose=pose, joint_dp=self.cfg.joint_dp).compile())]
+            self._run_warm_jobs("blocks", jobs)
+            return
 
         jobs = []
         if albedo:
@@ -752,59 +848,86 @@ class PhotometricRefiner:
                                        **ekw)
 
         while it < cfg.max_it:
-            if albedo:
+            if self.fused_iterations:
+                # ONE dispatch per iteration (round 5): same cores, same
+                # refresh points — the per-block path below is the
+                # reference-shaped equivalent (equality pinned by
+                # test_refine_optimizer.py::test_fused_iteration_matches_blocks)
                 T.tic()
-                self.albedo = _albedo_update(
-                    *self._args_rd(rd), **skw,
-                    reg_weight_rho=w_rho, damping=damping,
-                )
-                rd, e = refresh()
-                dt = T.toc("albedo", self.albedo)
-                # the reference refreshes each reg energy ONLY while its
-                # regularizer is active (PsOptimizer.cpp:311,338-339):
-                # with upsample the pre-iter-5 Laplacian term is a frozen
-                # constant in the total — refreshing it would wiggle the
-                # convergence metric and fire spurious divergence aborts
-                E = float(e[0])
-                if albedo_reg:
-                    E_r = float(e[3])
-                E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
-                self.metrics.log("block", iter=it, block="albedo", seconds=dt)
-
-            if light:
-                T.tic()
-                self.lights = _light_update(
-                    *self._args_rd(rd), **skw, damping=damping,
-                )
-                rd, e = refresh()
-                dt = T.toc("light", self.lights)
-                E, _, _, _ = (float(v) for v in e)
-                E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
-                self.metrics.log("block", iter=it, block="light", seconds=dt)
-
-            if distance and pose and cfg.joint_dp:
-                # joint distance+pose GN with Schur pose elimination
-                T.tic()
-                self.dist, self.grad_stored, self.poses = _joint_dp_update(
-                    *self._args_rd(rd), **skw,
+                (self.dist, self.albedo, self.grad_stored, self.poses,
+                 self.lights, e_blocks) = _iteration_update(
+                    *self._args(), **skw,
                     reg_weight_n=w_n if normal_reg else 0.0,
                     reg_weight_l=w_l if laplacian_reg else 0.0,
-                    damping=damping,
+                    reg_weight_rho=w_rho, damping=damping,
                     laplacian_diag_only=self.laplacian_diag_only,
-                )
-                rd, e = refresh()
-                dt = T.toc("joint_dp", self.dist)
-                E = float(e[0])
-                if normal_reg:
-                    E_n = float(e[1])
-                if laplacian_reg:
-                    E_l = float(e[2])
-                E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
-                self.metrics.log("block", iter=it, block="joint_dp", seconds=dt)
+                    do_light=light, do_albedo=albedo, do_distance=distance,
+                    do_pose=pose, joint_dp=cfg.joint_dp)
+                dt = T.toc("iteration_fused", self.dist)
+                names = []
+                if albedo:
+                    names.append("albedo")
+                if light:
+                    names.append("light")
+                if distance and pose and cfg.joint_dp:
+                    names.append("joint_dp")
+                else:
+                    if distance:
+                        names.append("distance")
+                    if pose:
+                        names.append("pose")
+                # identical energy bookkeeping: E_n/E_l/E_r refresh only
+                # while their regularizer is active (PsOptimizer.cpp:311,
+                # 338-339 — see the per-block path's comments)
+                for name, e in zip(names, e_blocks):
+                    E = float(e[0])
+                    if name == "albedo" and albedo_reg:
+                        E_r = float(e[3])
+                    if name in ("distance", "joint_dp"):
+                        if normal_reg:
+                            E_n = float(e[1])
+                        if laplacian_reg:
+                            E_l = float(e[2])
+                    E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l,
+                                                 w_rho)
+                    self.metrics.log("block", iter=it, block=name,
+                                     seconds=dt / max(len(names), 1))
+                rd = None   # stale; the unfused path recomputes on demand
             else:
-                if distance:
+                if albedo:
                     T.tic()
-                    self.dist, self.grad_stored = _dist_update(
+                    self.albedo = _albedo_update(
+                        *self._args_rd(rd), **skw,
+                        reg_weight_rho=w_rho, damping=damping,
+                    )
+                    rd, e = refresh()
+                    dt = T.toc("albedo", self.albedo)
+                    # the reference refreshes each reg energy ONLY while its
+                    # regularizer is active (PsOptimizer.cpp:311,338-339):
+                    # with upsample the pre-iter-5 Laplacian term is a frozen
+                    # constant in the total — refreshing it would wiggle the
+                    # convergence metric and fire spurious divergence aborts
+                    E = float(e[0])
+                    if albedo_reg:
+                        E_r = float(e[3])
+                    E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
+                    self.metrics.log("block", iter=it, block="albedo", seconds=dt)
+
+                if light:
+                    T.tic()
+                    self.lights = _light_update(
+                        *self._args_rd(rd), **skw, damping=damping,
+                    )
+                    rd, e = refresh()
+                    dt = T.toc("light", self.lights)
+                    E, _, _, _ = (float(v) for v in e)
+                    E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
+                    self.metrics.log("block", iter=it, block="light", seconds=dt)
+
+                if distance and pose and cfg.joint_dp:
+                    # joint distance+pose GN with Schur pose elimination
+                    T.tic()
+                    self.dist, self.grad_stored, self.poses = _joint_dp_update(
                         *self._args_rd(rd), **skw,
                         reg_weight_n=w_n if normal_reg else 0.0,
                         reg_weight_l=w_l if laplacian_reg else 0.0,
@@ -812,25 +935,44 @@ class PhotometricRefiner:
                         laplacian_diag_only=self.laplacian_diag_only,
                     )
                     rd, e = refresh()
-                    dt = T.toc("distance", self.dist)
+                    dt = T.toc("joint_dp", self.dist)
                     E = float(e[0])
                     if normal_reg:
                         E_n = float(e[1])
                     if laplacian_reg:
                         E_l = float(e[2])
                     E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
-                    self.metrics.log("block", iter=it, block="distance", seconds=dt)
+                    self.metrics.log("block", iter=it, block="joint_dp", seconds=dt)
+                else:
+                    if distance:
+                        T.tic()
+                        self.dist, self.grad_stored = _dist_update(
+                            *self._args_rd(rd), **skw,
+                            reg_weight_n=w_n if normal_reg else 0.0,
+                            reg_weight_l=w_l if laplacian_reg else 0.0,
+                            damping=damping,
+                            laplacian_diag_only=self.laplacian_diag_only,
+                        )
+                        rd, e = refresh()
+                        dt = T.toc("distance", self.dist)
+                        E = float(e[0])
+                        if normal_reg:
+                            E_n = float(e[1])
+                        if laplacian_reg:
+                            E_l = float(e[2])
+                        E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
+                        self.metrics.log("block", iter=it, block="distance", seconds=dt)
 
-                if pose:
-                    T.tic()
-                    self.poses = _pose_update(
-                        *self._args_rd(rd), **skw, damping=damping,
-                    )
-                    rd, e = refresh()
-                    dt = T.toc("pose", self.poses)
-                    E, _, _, _ = (float(v) for v in e)
-                    E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
-                    self.metrics.log("block", iter=it, block="pose", seconds=dt)
+                    if pose:
+                        T.tic()
+                        self.poses = _pose_update(
+                            *self._args_rd(rd), **skw, damping=damping,
+                        )
+                        rd, e = refresh()
+                        dt = T.toc("pose", self.poses)
+                        E, _, _, _ = (float(v) for v in e)
+                        E_total = self._total_energy(E, E_n, E_l, E_r, w_n, w_l, w_rho)
+                        self.metrics.log("block", iter=it, block="pose", seconds=dt)
 
             E_vec.append(E_total)
             rel_diff = abs(E_vec[-2] - E_total) / max(abs(E_vec[-2]), 1e-12)

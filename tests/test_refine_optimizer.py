@@ -359,3 +359,42 @@ def test_warm_compile_parallel(tmp_path):
         assert getattr(ref, "_warm_errors", None) == {}, ref._warm_errors
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+@pytest.mark.parametrize("model,joint", [(SH1, False), (LED, False),
+                                         (SH1, True)])
+def test_fused_iteration_matches_blocks(model, joint, tmp_path):
+    """The round-5 fused per-iteration program (one dispatch: all blocks +
+    refreshes + energies) must reproduce the per-block dispatch path —
+    same states, same energy trace, same convergence verdict."""
+    import json
+    import os
+
+    from psgradientsdf_tpu.utils.metrics import MetricsLogger
+
+    results = {}
+    for tag, fused in (("blocks", False), ("fused", True)):
+        ref, _ = build_refiner(model=model)
+        ref.cfg.joint_dp = joint
+        ref.cfg.max_it = 3
+        ref.cfg.conv_threshold = 0.0       # fixed 3 iterations both paths
+        ref.fused_iterations = fused
+        mpath = str(tmp_path / f"m_{tag}_{model}_{joint}.jsonl")
+        ref.metrics = MetricsLogger(mpath, echo=False)
+        ok = ref.alternating_optimize(light=True, albedo=True,
+                                      distance=True, pose=True)
+        trace = [json.loads(l)["total"] for l in open(mpath)
+                 if json.loads(l).get("event") == "iteration"]
+        results[tag] = dict(ok=ok, dist=np.asarray(ref.dist),
+                            albedo=np.asarray(ref.albedo),
+                            poses=np.asarray(ref.poses),
+                            lights=np.asarray(ref.lights), trace=trace)
+
+    b, f = results["blocks"], results["fused"]
+    assert b["ok"] == f["ok"]
+    assert len(b["trace"]) == len(f["trace"]) >= 2
+    np.testing.assert_allclose(f["trace"], b["trace"], rtol=1e-4)
+    np.testing.assert_allclose(f["dist"], b["dist"], atol=1e-6)
+    np.testing.assert_allclose(f["albedo"], b["albedo"], atol=1e-6)
+    np.testing.assert_allclose(f["poses"], b["poses"], atol=1e-6)
+    np.testing.assert_allclose(f["lights"], b["lights"], atol=1e-5)
