@@ -382,14 +382,29 @@ def run_tpu() -> dict:
     g2 = functools.partial(fuse_chain, n=9)
     _ = float(g1(state0, seed()))
     _ = float(g2(state0, seed()))
-    fuse_s = 1e18
-    for _rep in range(3):
-        t0 = time.perf_counter()
-        _ = float(g1(state0, seed()))
-        t1 = time.perf_counter()
-        _ = float(g2(state0, seed()))
-        t2 = time.perf_counter()
-        fuse_s = min(fuse_s, ((t2 - t1) - (t1 - t0)) / 6)
+
+    def measure_floor():
+        best = 1e18
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            _ = float(g1(state0, seed()))
+            t1 = time.perf_counter()
+            _ = float(g2(state0, seed()))
+            t2 = time.perf_counter()
+            best = min(best, ((t2 - t1) - (t1 - t0)) / 6)
+        return best
+
+    fuse_s = measure_floor()
+    # tunnel queue interference can push the short-chain call's latency
+    # above the long chain's and turn the marginal NEGATIVE (observed
+    # once, round 5) — garbage, not a measurement; retry before failing
+    for _retry in range(2):
+        if fuse_s > 0:
+            break
+        log(f"[bench] fusion-floor marginal non-positive "
+            f"({fuse_s*1e3:.1f} ms) — tunnel interference, remeasuring")
+        fuse_s = measure_floor()
+    assert fuse_s > 0, "fusion floor marginal stayed non-positive"
     n_idx = CAP * S
     fuse_ns_per_idx = fuse_s * 1e9 / n_idx
     # bytes/frame: pixel-payload rows (32 B/idx) + state rows gathered and

@@ -32,10 +32,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-W, H, DIM, F, MAX_IT = 640, 480, 128, 20, 100
+W, H, MAX_IT = 640, 480, 100
+DIM, F = 128, 20                 # the bench scene (refine_bench scale)
+DIM_L, F_L = 192, 40             # production-trend leg: ~4.5x the pairs
 
 
-def _cpp(log, outdir) -> dict:
+def _cpp(log, outdir, dim, f, reps=3) -> dict:
     src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "cpp_refine_full.cpp")
     binp = "/tmp/psgsdf_cpp_refine_full"
@@ -44,11 +46,12 @@ def _cpp(log, outdir) -> dict:
         log("[refine-full] compiling C++ full-alternation baseline ...")
         subprocess.run(["g++", "-O3", "-std=c++17", "-o", binp, src],
                        check=True)
-    log("[refine-full] running C++ full alternation (best of 3) ...")
+    log(f"[refine-full] running C++ full alternation "
+        f"({dim}^3, F={f}; best of {reps}) ...")
     runs = []
-    for _ in range(3):
+    for _ in range(reps):
         out = subprocess.run(
-            [binp, str(W), str(H), str(DIM), str(F), str(MAX_IT), outdir],
+            [binp, str(W), str(H), str(dim), str(f), str(MAX_IT), outdir],
             check=True, capture_output=True, text=True, timeout=1800,
         ).stdout
         runs.append(json.loads(out))
@@ -58,6 +61,7 @@ def _cpp(log, outdir) -> dict:
 
 def _load_problem(outdir):
     meta = json.load(open(os.path.join(outdir, "meta.json")))
+    dim, f = meta["DIM"], meta["F"]
 
     def f32(name, shape):
         return np.fromfile(os.path.join(outdir, name),
@@ -65,11 +69,11 @@ def _load_problem(outdir):
 
     d = dict(meta=meta)
     d["image"] = f32("image.f32", (H, W, 3))
-    d["dist"] = f32("dist.f32", (DIM, DIM, DIM))
-    d["grad"] = f32("grad.f32", (DIM, DIM, DIM, 3))
-    d["weight"] = f32("weight.f32", (DIM, DIM, DIM))
-    d["poses"] = f32("poses.f32", (meta["F"], 4, 4))
-    d["lights"] = f32("lights.f32", (meta["F"], 4))
+    d["dist"] = f32("dist.f32", (dim, dim, dim))
+    d["grad"] = f32("grad.f32", (dim, dim, dim, 3))
+    d["weight"] = f32("weight.f32", (dim, dim, dim))
+    d["poses"] = f32("poses.f32", (f, 4, 4))
+    d["lights"] = f32("lights.f32", (f, 4))
     return d
 
 
@@ -83,14 +87,15 @@ def _make_refiner(dump, metrics):
     from psgradientsdf_tpu.utils import robust
 
     m = dump["meta"]
-    geom = GridGeometry(dims=(DIM, DIM, DIM), voxel_size=m["h"],
+    dim = m["DIM"]
+    geom = GridGeometry(dims=(dim, dim, dim), voxel_size=m["h"],
                         shift=tuple(m["shift"]))
     vis = np.where(dump["weight"] > 0, np.uint32(1), np.uint32(0))[None]
     vol = GradSdfVolume(
         dist=jnp.asarray(dump["dist"]),
         grad=jnp.asarray(dump["grad"]),
         weight=jnp.asarray(dump["weight"]),
-        color=jnp.full((DIM, DIM, DIM, 3), 0.5, dtype=jnp.float32),
+        color=jnp.full((dim, dim, dim, 3), 0.5, dtype=jnp.float32),
         vis=jnp.asarray(vis),
     )
     cfg = OptimizerConfig(
@@ -102,8 +107,10 @@ def _make_refiner(dump, metrics):
                  dtype=np.float32)
     ref = PhotometricRefiner(vol, geom, cfg, K, save_path="",
                              truncation=m["T"], metrics=metrics)
-    images = np.broadcast_to(dump["image"], (F,) + dump["image"].shape).copy()
-    ref.set_keyframes(images, dump["poses"], [0] * F, [str(i) for i in range(F)])
+    nf = m["F"]
+    images = np.broadcast_to(dump["image"], (nf,) + dump["image"].shape).copy()
+    ref.set_keyframes(images, dump["poses"], [0] * nf,
+                      [str(i) for i in range(nf)])
     ref.init()
     # the light init (rotated -z + 0.02 ambient) must reproduce the dump's
     np.testing.assert_allclose(np.asarray(ref.lights), dump["lights"],
@@ -173,12 +180,21 @@ def _tpu(log, outdir) -> dict:
                 E_final=trace[-1], backend=jax.default_backend())
 
 
-def run(log=print) -> dict:
-    outdir = tempfile.mkdtemp(prefix="refine_full_")
-    cpp = _cpp(log, outdir)
-    log(f"[refine-full] C++: {cpp}")
+def _leg(log, dim, f, reps):
+    outdir = tempfile.mkdtemp(prefix=f"refine_full_{dim}_")
+    cpp = _cpp(log, outdir, dim, f, reps=reps)
+    log(f"[refine-full] C++ ({dim}^3,F={f}): {cpp}")
     tpu = _tpu(log, outdir)
-    log(f"[refine-full] TPU: {tpu}")
+    log(f"[refine-full] TPU ({dim}^3,F={f}): {tpu}")
+    return cpp, tpu
+
+
+def run(log=print) -> dict:
+    cpp, tpu = _leg(log, DIM, F, reps=3)
+    # production-trend leg: ~4.5x the voxel-keyframe pairs (the sokrates /
+    # basket recipes run at 1.9-2.2M pairs; the bench scene's 0.46M is
+    # where single-core C++ is most competitive)
+    cpp_l, tpu_l = _leg(log, DIM_L, F_L, reps=2)
     return {
         # round-4 VERDICT #1: the full-alternation run of record
         "refine_total_s_cpp": round(cpp["total_s"], 4),
@@ -193,6 +209,17 @@ def run(log=print) -> dict:
             "albedo": cpp["albedo_s"], "light": cpp["light_s"],
             "dist": cpp["dist_s"], "pose": cpp["pose_s"],
             "residual_passes": cpp["pass_s"],
+        },
+        "refine_full_large": {
+            "scenario": f"{W}x{H}, {DIM_L}^3, F={F_L} keyframes "
+                        f"(~{cpp_l['N'] * F_L / 1e6:.1f}M pairs)",
+            "total_s_cpp": round(cpp_l["total_s"], 4),
+            "total_s_tpu": round(tpu_l["total_s"], 4),
+            "speedup": round(cpp_l["total_s"] / tpu_l["total_s"], 3),
+            "iters_cpp": cpp_l["iters"],
+            "iters_tpu": tpu_l["iters"],
+            "E_final_cpp": cpp_l["E_final"],
+            "E_final_tpu": tpu_l["E_final"],
         },
         "refine_full_scenario": (
             f"{W}x{H}, {DIM}^3, F={F} keyframes, SH1, cauchy lam=0.2, "
